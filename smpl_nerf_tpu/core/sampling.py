@@ -1,0 +1,127 @@
+"""Ray sampling: coarse disparity-linear bins + hierarchical inverse-CDF fine sampling.
+
+Semantics match the reference exactly (quirks included, they affect PSNR parity):
+  * coarse bins are disparity-linear 1/(1/near*(1-t) + 1/far*t) with ONE shared
+    uniform jitter per ray (reference datasets/transforms.py:82-89 draws a single
+    np.random.rand() scalar, not per-bin stratified noise),
+  * fine sampling uses DETERMINISTIC u = linspace(0,1,N_fine)
+    (reference utils.py:206 — not the stratified random of original NeRF),
+  * pdf from weights[..., 1:-1] + 1e-5, cdf prepended with 0, searchsorted
+    side='right', denominators < 1e-5 replaced by 1 (reference utils.py:194-228),
+  * fine z are stop_gradient'ed, then sort-merged with the coarse z
+    (reference utils.py:231-264).
+
+TPU-native design: the reference ran coarse sampling on the host inside Dataset
+__getitem__ and shipped [S,3] sample tensors per ray over PCIe every batch. Here
+sampling is part of the jitted step: batches are just (origin, dir) rays and all
+sample generation happens on device. The searchsorted that required the
+reference's CUDA extension (torchsearchsorted/, used at utils.py:212) is a
+branchless vectorized comparison here — with K=S_coarse+1 bins it is cheaper on
+TPU to compare all K bins on the VPU than to binary-search; see also the fused
+Pallas kernel in smpl_nerf_tpu/ops/sample_pdf_pallas.py.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def coarse_bins(near: float, far: float, number_samples: int) -> jnp.ndarray:
+    """Disparity-linear bin centers [S]. Reference: datasets/transforms.py:82-83."""
+    t_vals = jnp.linspace(0.0, 1.0, number_samples)
+    return 1.0 / (1.0 / near * (1.0 - t_vals) + 1.0 / far * t_vals)
+
+
+def coarse_sampling(ray_translation: jnp.ndarray, ray_direction: jnp.ndarray,
+                    near: float, far: float, number_samples: int,
+                    rng: Optional[jax.Array] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Coarse samples along rays.
+
+    Args:
+      ray_translation: [..., 3] ray origins.
+      ray_direction: [..., 3] ray directions.
+      rng: optional PRNG key; if given, one uniform jitter is drawn PER RAY and
+        shared across that ray's bins (reference transforms.py:88). If None the
+        jitter is 0.5 (bin centers) — deterministic eval mode.
+
+    Returns:
+      (ray_samples [..., S, 3], z_vals [..., S])
+    """
+    z = coarse_bins(near, far, number_samples)
+    mids = 0.5 * (z[1:] + z[:-1])
+    upper = jnp.concatenate([mids, z[-1:]], -1)
+    lower = jnp.concatenate([z[:1], mids], -1)
+    batch_shape = ray_translation.shape[:-1]
+    if rng is not None:
+        jitter = jax.random.uniform(rng, batch_shape + (1,))
+    else:
+        jitter = 0.5
+    z_vals = lower + (upper - lower) * jitter  # [..., S]
+    ray_samples = ray_translation[..., None, :] + ray_direction[..., None, :] * z_vals[..., :, None]
+    return ray_samples, z_vals
+
+
+def searchsorted_right(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched searchsorted, side='right': index of first a-entry > v.
+
+    a: [..., K] sorted along last axis; v: [..., Q]. Returns int32 [..., Q].
+
+    Replaces the reference's torchsearchsorted C++/CUDA extension
+    (torchsearchsorted/src/cpu/searchsorted_cpu_wrapper.cpp) with a branchless
+    comparison-sum — an O(K*Q) VPU-friendly form that XLA maps onto 8x128
+    vector lanes; for the K<=193 bins used here this beats any binary search.
+    """
+    return jnp.sum(v[..., :, None] >= a[..., None, :], axis=-1).astype(jnp.int32)
+
+
+def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, number_fine_samples: int) -> jnp.ndarray:
+    """Inverse-CDF sampling of `number_fine_samples` per ray.
+
+    bins: [R, K] bin positions (z midpoints), weights: [R, K-1].
+    Reference: utils.py:194-228 (incl. the deterministic u=linspace quirk).
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)  # [R, K]
+
+    u = jnp.linspace(0.0, 1.0, number_fine_samples)
+    u = jnp.broadcast_to(u, cdf.shape[:-1] + (number_fine_samples,))
+
+    inds = searchsorted_right(cdf, u)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def fine_sampling(ray_translation: jnp.ndarray, samples_directions: jnp.ndarray,
+                  z_vals: jnp.ndarray, weights: jnp.ndarray,
+                  number_fine_samples: int,
+                  use_pallas: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge coarse z with inverse-CDF fine z and rebuild 3D sample points.
+
+    Reference: utils.py:231-264. Returns (z_vals [R, Sc+Sf], samples [R, Sc+Sf, 3]).
+    """
+    z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    inner_weights = weights[..., 1:-1]
+    if use_pallas:
+        from smpl_nerf_tpu.ops.sample_pdf_pallas import sample_pdf_fused
+        z_samples = sample_pdf_fused(z_vals_mid, inner_weights, number_fine_samples)
+    else:
+        z_samples = sample_pdf(z_vals_mid, inner_weights, number_fine_samples)
+    z_samples = jax.lax.stop_gradient(z_samples)
+    z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+    ray_samples_fine = (ray_translation[..., None, :]
+                        + samples_directions[..., None, :] * z_all[..., :, None])
+    return z_all, ray_samples_fine
