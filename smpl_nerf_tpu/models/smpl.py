@@ -47,6 +47,10 @@ class SmplModel(NamedTuple):
     parents: np.ndarray         # [24]
     vertex_colors: Optional[np.ndarray] = None  # [V, 3] in [0,1] (procedural)
     uv: Optional[np.ndarray] = None             # [V, 2] (real SMPL + uv map)
+    rest_joints: Optional[np.ndarray] = None    # [24, 3] exact rest joints
+                                                # (procedural model; bypasses the
+                                                # regressor since its shapedirs
+                                                # are zero)
 
     @property
     def num_vertices(self) -> int:
@@ -67,7 +71,8 @@ def rodrigues(axis_angle: jnp.ndarray) -> jnp.ndarray:
     ], -2)
     a = angle[..., None]
     eye = jnp.eye(3, dtype=axis_angle.dtype)
-    return eye + jnp.sin(a) * K + (1.0 - jnp.cos(a)) * (K @ K)
+    KK = jnp.matmul(K, K, precision=jax.lax.Precision.HIGHEST)
+    return eye + jnp.sin(a) * K + (1.0 - jnp.cos(a)) * KK
 
 
 def smpl_forward(model: SmplModel, betas: jnp.ndarray, body_pose: jnp.ndarray,
@@ -86,7 +91,11 @@ def smpl_forward(model: SmplModel, betas: jnp.ndarray, body_pose: jnp.ndarray,
 
     # shape blendshapes
     v_shaped = v_template + jnp.einsum("vcb,b->vc", shapedirs, betas[:num_betas])
-    joints = jnp.asarray(model.joint_regressor, jnp.float32) @ v_shaped  # [24, 3]
+    if model.rest_joints is not None:
+        joints = jnp.asarray(model.rest_joints, jnp.float32)
+    else:
+        joints = jnp.matmul(jnp.asarray(model.joint_regressor, jnp.float32), v_shaped,
+                            precision=jax.lax.Precision.HIGHEST)  # [24, 3]
 
     # per-joint rotations
     body_pose = jnp.asarray(body_pose, jnp.float32).reshape(23, 3)
@@ -121,9 +130,10 @@ def smpl_forward(model: SmplModel, betas: jnp.ndarray, body_pose: jnp.ndarray,
 
     # linear blend skinning
     W = jnp.asarray(model.lbs_weights, jnp.float32)  # [V, 24]
-    T = jnp.einsum("vj,jrc->vrc", W, G)              # [V, 4, 4]
+    hi = jax.lax.Precision.HIGHEST
+    T = jnp.einsum("vj,jrc->vrc", W, G, precision=hi)  # [V, 4, 4]
     v_hom = jnp.concatenate([v_shaped, jnp.ones_like(v_shaped[:, :1])], 1)
-    verts = jnp.einsum("vrc,vc->vr", T, v_hom)[:, :3]
+    verts = jnp.einsum("vrc,vc->vr", T, v_hom, precision=hi)[:, :3]
     if transl is not None:
         verts = verts + jnp.asarray(transl, jnp.float32).reshape(1, 3)
     return verts
@@ -325,34 +335,15 @@ def procedural_human(rings: int = 7, segments: int = 12) -> SmplModel:
     lbs_weights = np.concatenate(all_w)
     colors = np.concatenate(all_c)
     V = len(v_template)
-    # joint "regressor" that reproduces the rest joints exactly: use one-hot
-    # rows onto pseudo-vertices — instead, regress joints as fixed linear
-    # combination of nearest template vertices.
+    # approximate regressor (inverse-distance over nearest vertices) kept for
+    # API parity; the exact rest joints are stored in rest_joints and used by
+    # smpl_forward since the procedural model's shapedirs are zero.
     joint_regressor = np.zeros((NUM_JOINTS, V), np.float32)
     for j in range(NUM_JOINTS):
         d = np.linalg.norm(v_template - _REST_JOINTS[j], axis=1)
         nearest = np.argsort(d)[:8]
-        # weights solving sum(w * v[nearest]) = joint via least squares with
-        # uniform fallback; uniform average of the 8 nearest is close enough
-        # and keeps the regressor row-stochastic like SMPL's.
         w = 1.0 / np.maximum(d[nearest], 1e-4)
-        w /= w.sum()
-        # correct the residual so J_regressor @ v_template == rest joints
-        approx = (v_template[nearest] * w[:, None]).sum(0)
-        joint_regressor[j, nearest] = w
-        # store residual in an extra correction applied via v_template trick:
-        # fold the residual into the row by least squares refinement
-        A = v_template[nearest].T  # [3, 8]
-        target = _REST_JOINTS[j]
-        try:
-            w_ls, *_ = np.linalg.lstsq(
-                np.vstack([A, np.ones((1, len(nearest)))]),
-                np.concatenate([target, [1.0]]), rcond=None)
-            if np.all(np.isfinite(w_ls)) and np.abs(w_ls).max() < 10:
-                joint_regressor[j, :] = 0
-                joint_regressor[j, nearest] = w_ls
-        except np.linalg.LinAlgError:
-            pass
+        joint_regressor[j, nearest] = w / w.sum()
     return SmplModel(
         v_template=v_template,
         shapedirs=np.zeros((V, 3, 10), np.float32),
@@ -362,6 +353,7 @@ def procedural_human(rings: int = 7, segments: int = 12) -> SmplModel:
         faces=faces,
         parents=PARENTS.copy(),
         vertex_colors=colors.astype(np.float32),
+        rest_joints=_REST_JOINTS.copy(),
     )
 
 
