@@ -1,0 +1,425 @@
+"""Rendering pipelines: one pure function per model family, built by a factory.
+
+The reference implements each model_type as an nn.Module pipeline class
+(models/*_pipeline.py). Here each variant is a pure function
+``pipeline(params, batch, rng, train) -> outputs dict`` closed over static
+pieces (flax modules, encoders, config, per-dataset constants). Everything a
+variant changes — input conditioning, sample warping, loss inputs — is data
+flowing through one shared coarse+fine skeleton, so the whole step stays inside
+a single jit/pjit program: coarse sampling, both MLP megabatches, inverse-CDF
+fine sampling and compositing fuse into one XLA computation with no host
+round-trips (the reference crosses the host<->device boundary per batch and
+launches a CUDA kernel for searchsorted).
+
+Batch layout (device-resident, gathered from dataset arrays — see data/):
+  ray_translation [R,3], ray_direction [R,3], rgb [R,3]
+  + human_pose [R,69]           (smpl_nerf / append_* families)
+  + warp [R,3] & ray_samples [R,3] & z_vals [R,1] ('smpl' single-sample family)
+  + warp [R,S,3] & z_vals [R,S] & ray_samples [R,S,3]  (vertex_sphere)
+  + image_indices [R]           (dynamic families)
+
+Reference call-stack parity: NerfPipeline.forward (nerf_pipeline.py:14-67),
+SmplNerfPipeline.forward (smpl_nerf_pipeline.py:16-100), AppendToNerfPipeline
+(append_to_nerf_pipeline.py:14-90), AppendSmplParamsPipeline
+(append_smpl_params_pipeline.py), SmplPipeline (singe_sample_pipeline.py:17-40),
+VertexSpherePipeline (vertex_sphere_pipeline.py:14-50), DynamicPipeline
+(dynamic_pipeline.py:23-83), AppendVerticesPipeline (append_vertices_pipeline.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smpl_nerf_tpu.core.encoding import PositionalEncoder
+from smpl_nerf_tpu.core.integrate import raw2outputs
+from smpl_nerf_tpu.core.sampling import coarse_sampling, fine_sampling
+from smpl_nerf_tpu.models import smpl as smpl_mod
+from smpl_nerf_tpu.ops.vertex_attention import vertex_attention_warp
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (hashable) rendering configuration — safe to close over in jit."""
+    model_type: str = "nerf"
+    near: float = 1.0
+    far: float = 4.0
+    number_coarse_samples: int = 64
+    number_fine_samples: int = 128
+    run_fine: bool = True
+    sigma_noise_std: float = 0.0
+    white_background: bool = False
+    human_pose_encoding: bool = False
+    human_joints: tuple = (41, 38)
+    use_pallas: bool = False
+    warp_radius: float = 0.01
+    warp_temperature: float = 10000.0
+    use_gmm_loss: bool = False
+    gmm_std: float = 0.07
+
+    @classmethod
+    def from_args(cls, args) -> "RenderConfig":
+        return cls(
+            model_type=args.model_type,
+            near=float(args.near), far=float(args.far),
+            number_coarse_samples=int(args.number_coarse_samples),
+            number_fine_samples=int(args.number_fine_samples),
+            run_fine=bool(int(args.run_fine)),
+            sigma_noise_std=float(args.sigma_noise_std),
+            white_background=bool(int(args.white_background)),
+            human_pose_encoding=bool(int(args.human_pose_encoding)),
+            human_joints=tuple(int(j) for j in args.human_joints),
+            use_pallas=bool(int(getattr(args, "use_pallas", 0))),
+            warp_radius=float(args.warp_radius),
+            warp_temperature=float(args.warp_temperature),
+            use_gmm_loss=bool(int(args.use_gmm_loss)),
+            gmm_std=float(args.gmm_std),
+        )
+
+
+def build_encoders(args) -> Dict[str, PositionalEncoder]:
+    """The three positional encoders the reference builds in train.py:102-110."""
+    return {
+        "position": PositionalEncoder(int(args.number_frequencies_postitional),
+                                      bool(int(args.use_identity_positional))),
+        "direction": PositionalEncoder(int(args.number_frequencies_directional),
+                                       bool(int(args.use_identity_directional))),
+        "human_pose": PositionalEncoder(int(args.number_frequencies_pose),
+                                        bool(int(args.use_identity_pose))),
+    }
+
+
+def _normalize(v: jnp.ndarray) -> jnp.ndarray:
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def _run_net(model, params, samples_enc, dirs_enc, prefix=None):
+    """Flatten [R,S,E] encodings to the [R*S, E] MLP megabatch and reshape back."""
+    R, S = samples_enc.shape[:2]
+    parts = []
+    if prefix is not None:
+        parts.append(prefix.reshape(R * S, -1))
+    parts += [samples_enc.reshape(R * S, -1), dirs_enc.reshape(R * S, -1)]
+    inputs = jnp.concatenate(parts, -1)
+    raw = model.apply(params, inputs)
+    return raw.reshape(R, S, raw.shape[-1])
+
+
+class Pipeline:
+    """A built pipeline: call as fn(params, batch, rng, train) -> outputs."""
+
+    def __init__(self, fn: Callable, cfg: RenderConfig, models: Dict[str, Any],
+                 encoders: Dict[str, PositionalEncoder]):
+        self._fn = fn
+        self.cfg = cfg
+        self.models = models
+        self.encoders = encoders
+
+    def __call__(self, params, batch, rng=None, train: bool = False):
+        return self._fn(params, batch, rng, train)
+
+
+def _split_rng(rng, n):
+    if rng is None:
+        return (None,) * n
+    return tuple(jax.random.split(rng, n))
+
+
+def _coarse(batch, cfg: RenderConfig, rng):
+    """In-pipeline coarse sampling unless the dataset precomputed samples."""
+    if "z_vals" in batch:
+        return batch["ray_samples"], batch["z_vals"]
+    return coarse_sampling(batch["ray_translation"], batch["ray_direction"],
+                           cfg.near, cfg.far, cfg.number_coarse_samples, rng)
+
+
+def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
+                   encoders: Dict[str, PositionalEncoder],
+                   extras: Optional[Dict[str, Any]] = None) -> Pipeline:
+    """Construct the pipeline function for cfg.model_type.
+
+    models: flax modules keyed 'model_coarse', 'model_fine', 'model_warp_field',
+      'smpl_estimator' as applicable; params pytree uses the same keys.
+    extras: per-dataset constants — 'smpl_model' (SmplModel), 'betas' [10],
+      'canonical_pose' [69], 'goal_pose_table' [N_img, 69] etc.
+    """
+    extras = extras or {}
+    pos_enc = encoders["position"]
+    dir_enc = encoders["direction"]
+    pose_enc = encoders["human_pose"]
+
+    # ---------------------------------------------------------------- nerf
+    def nerf_fn(params, batch, rng, train):
+        rng_j, rng_nc, rng_nf = _split_rng(rng, 3)
+        samples, z_vals = _coarse(batch, cfg, rng_j if train else None)
+        noise = cfg.sigma_noise_std if train else 0.0
+        origins = batch["ray_translation"]
+        dirs = batch["ray_direction"]
+        S = samples.shape[1]
+        dirs_exp = jnp.broadcast_to(dirs[:, None, :], samples.shape)
+        dirs_enc = dir_enc.encode(_normalize(dirs_exp))
+        raw = _run_net(models["model_coarse"], params["model_coarse"],
+                       pos_enc.encode(samples), dirs_enc)
+        out = raw2outputs(raw, z_vals, dirs_exp, noise, cfg.white_background,
+                          rng_nc if train else None)
+        result = {"rgb_coarse": out.rgb, "densities": out.density,
+                  "ray_samples": samples, "depth": out.depth}
+        if not cfg.run_fine:
+            result["rgb_fine"] = out.rgb
+            return result
+        z_fine, samples_fine = fine_sampling(origins, dirs, z_vals, out.weights,
+                                             cfg.number_fine_samples, cfg.use_pallas)
+        Sf = samples_fine.shape[1]
+        dirs_fine = jnp.broadcast_to(dirs[:, None, :], (dirs.shape[0], Sf, 3))
+        # the reference reuses the first coarse sample's direction encoding
+        # (nerf_pipeline.py:51-53) — directions are constant per ray, same thing
+        raw_f = _run_net(models["model_fine"], params["model_fine"],
+                         pos_enc.encode(samples_fine),
+                         jnp.broadcast_to(dirs_enc[:, :1, :],
+                                          (dirs.shape[0], Sf, dirs_enc.shape[-1])))
+        out_f = raw2outputs(raw_f, z_fine, dirs_fine, noise, cfg.white_background,
+                            rng_nf if train else None)
+        result.update(rgb_fine=out_f.rgb, densities=out_f.density,
+                      ray_samples=samples_fine, depth=out_f.depth)
+        return result
+
+    # ------------------------------------------------------------ smpl_nerf
+    def _two_joint_pose(batch):
+        """goal_pose joints stacked in [38, 41] order — smpl_nerf_pipeline.py:28.
+
+        cfg.human_joints is (41, 38) by default (config flag --human_joints);
+        the reference hardcodes the stack order [38, 41] regardless — we follow
+        the configured joints but keep the reference's ascending stack order.
+        """
+        gp = batch["human_pose"]
+        joints = sorted(cfg.human_joints)
+        return jnp.stack([gp[:, j] for j in joints], -1)
+
+    def _warp_inputs(samples, pose2, R, S):
+        pose_feat = pose_enc.encode(pose2) if cfg.human_pose_encoding else pose2
+        pose_exp = jnp.broadcast_to(pose_feat[:, None, :], (R, S, pose_feat.shape[-1]))
+        sample_feat = pos_enc.encode(samples) if cfg.human_pose_encoding else samples
+        return jnp.concatenate([sample_feat.reshape(R * S, -1),
+                                pose_exp.reshape(R * S, -1)], -1)
+
+    def smpl_nerf_fn(params, batch, rng, train):
+        rng_j, rng_nc, rng_nf = _split_rng(rng, 3)
+        samples, z_vals = _coarse(batch, cfg, rng_j if train else None)
+        noise = cfg.sigma_noise_std if train else 0.0
+        origins = batch["ray_translation"]
+        dirs = batch["ray_direction"]
+        R, S = samples.shape[:2]
+        pose2 = _two_joint_pose(batch)
+
+        warp = models["model_warp_field"].apply(
+            params["model_warp_field"], _warp_inputs(samples, pose2, R, S)
+        ).reshape(R, S, 3)
+        warped = samples + warp
+        samples_dirs = warped - origins[:, None, :]
+        raw = _run_net(models["model_coarse"], params["model_coarse"],
+                       pos_enc.encode(warped), dir_enc.encode(_normalize(samples_dirs)))
+        out = raw2outputs(raw, z_vals, samples_dirs, noise, cfg.white_background,
+                          rng_nc if train else None)
+        result = {"rgb_coarse": out.rgb, "warp": warp, "ray_samples": samples,
+                  "warped_samples": warped, "densities": out.density}
+        if not cfg.run_fine:
+            result["rgb_fine"] = out.rgb
+            return result
+        z_fine, samples_fine = fine_sampling(origins, dirs, z_vals, out.weights,
+                                             cfg.number_fine_samples, cfg.use_pallas)
+        Sf = samples_fine.shape[1]
+        warp_f = models["model_warp_field"].apply(
+            params["model_warp_field"], _warp_inputs(samples_fine, pose2, R, Sf)
+        ).reshape(R, Sf, 3)
+        warped_f = samples_fine + warp_f
+        fine_dirs = warped_f - origins[:, None, :]
+        raw_f = _run_net(models["model_fine"], params["model_fine"],
+                         pos_enc.encode(warped_f), dir_enc.encode(_normalize(fine_dirs)))
+        # reference integrates the fine pass with the UNwarped per-ray direction
+        # (smpl_nerf_pipeline.py:95-98)
+        dirs_fine = jnp.broadcast_to(dirs[:, None, :], (R, Sf, 3))
+        out_f = raw2outputs(raw_f, z_fine, dirs_fine, noise, cfg.white_background,
+                            rng_nf if train else None)
+        result.update(rgb_fine=out_f.rgb, warp=warp_f, ray_samples=samples_fine,
+                      warped_samples=warped_f, densities=out_f.density)
+        return result
+
+    # ------------------------------------------------- append_to_nerf family
+    def _append_fn(pose_of_batch: Callable):
+        def fn(params, batch, rng, train):
+            rng_j, rng_nc, rng_nf = _split_rng(rng, 3)
+            samples, z_vals = _coarse(batch, cfg, rng_j if train else None)
+            noise = cfg.sigma_noise_std if train else 0.0
+            origins = batch["ray_translation"]
+            dirs = batch["ray_direction"]
+            R, S = samples.shape[:2]
+            pose = pose_of_batch(batch)
+            pose_feat = pose_enc.encode(pose) if cfg.human_pose_encoding else pose
+            dirs_exp = jnp.broadcast_to(dirs[:, None, :], samples.shape)
+            dirs_enc_c = dir_enc.encode(_normalize(dirs_exp))
+
+            def run(model_key, smp, de, Sx):
+                prefix = jnp.broadcast_to(pose_feat[:, None, :],
+                                          (R, Sx, pose_feat.shape[-1]))
+                return _run_net(models[model_key], params[model_key],
+                                pos_enc.encode(smp), de, prefix=prefix)
+
+            raw = run("model_coarse", samples, dirs_enc_c, S)
+            out = raw2outputs(raw, z_vals, dirs_exp, noise, cfg.white_background,
+                              rng_nc if train else None)
+            result = {"rgb_coarse": out.rgb, "densities": out.density,
+                      "ray_samples": samples}
+            if not cfg.run_fine:
+                result["rgb_fine"] = out.rgb
+                return result
+            z_fine, samples_fine = fine_sampling(origins, dirs, z_vals, out.weights,
+                                                 cfg.number_fine_samples, cfg.use_pallas)
+            Sf = samples_fine.shape[1]
+            dirs_fine = jnp.broadcast_to(dirs[:, None, :], (R, Sf, 3))
+            de_f = jnp.broadcast_to(dirs_enc_c[:, :1, :], (R, Sf, dirs_enc_c.shape[-1]))
+            raw_f = run("model_fine", samples_fine, de_f, Sf)
+            out_f = raw2outputs(raw_f, z_fine, dirs_fine, noise, cfg.white_background,
+                                rng_nf if train else None)
+            result.update(rgb_fine=out_f.rgb, densities=out_f.density,
+                          ray_samples=samples_fine)
+            return result
+        return fn
+
+    # ----------------------------------------------------- single-sample smpl
+    def smpl_fn(params, batch, rng, train):
+        sample = batch["ray_samples"]          # [R, 3] surface sample
+        warped = sample + batch["warp"]
+        direction = warped - batch["ray_translation"]
+        inputs = jnp.concatenate([pos_enc.encode(warped),
+                                  dir_enc.encode(_normalize(direction))], -1)
+        raw = models["model_coarse"].apply(params["model_coarse"], inputs)
+        rgb = jax.nn.sigmoid(raw[..., :3])
+        return {"rgb_coarse": rgb, "rgb_fine": rgb}
+
+    # --------------------------------------------------------- vertex_sphere
+    def vertex_sphere_fn(params, batch, rng, train):
+        _, rng_nc, _ = _split_rng(rng, 3)
+        samples = batch["ray_samples"]         # [R, S, 3]
+        z_vals = batch["z_vals"]
+        warp = batch["warp"]                   # [R, S, 3] precomputed gt warp
+        noise = cfg.sigma_noise_std if train else 0.0
+        origins = batch["ray_translation"]
+        warped = samples + warp
+        samples_dirs = warped - origins[:, None, :]
+        raw = _run_net(models["model_coarse"], params["model_coarse"],
+                       pos_enc.encode(warped), dir_enc.encode(_normalize(samples_dirs)))
+        out = raw2outputs(raw, z_vals, samples_dirs, noise, cfg.white_background,
+                          rng_nc if train else None)
+        # fine pass is NotImplemented in the reference (vertex_sphere_pipeline.py:50)
+        return {"rgb_coarse": out.rgb, "rgb_fine": out.rgb, "warp": warp,
+                "ray_samples": samples, "warped_samples": warped,
+                "densities": out.density}
+
+    # -------------------------------------------------------------- dynamic
+    def dynamic_fn(params, batch, rng, train):
+        rng_j, rng_nc, _ = _split_rng(rng, 3)
+        samples, z_vals = _coarse(batch, cfg, rng_j if train else None)
+        noise = cfg.sigma_noise_std if train else 0.0
+        origins = batch["ray_translation"]
+        R, S = samples.shape[:2]
+        smpl_model = extras["smpl_model"]
+        betas = jnp.asarray(extras["betas"], jnp.float32).reshape(-1)
+
+        # estimator -> per-image poses; vertices computed once PER IMAGE and
+        # gathered per ray (the reference recomputes LBS per ray,
+        # dynamic_pipeline.py:45-51 — same math, gather instead of recompute)
+        image_indices = batch["image_indices"].astype(jnp.int32)
+        goal_pose_table = models["smpl_estimator"].apply(
+            params["smpl_estimator"],
+            jnp.arange(extras["num_images"], dtype=jnp.int32))  # [N_img, 69]
+        canonical_verts = smpl_mod.smpl_forward(smpl_model, betas, jnp.zeros(69))
+        goal_verts_table = jax.vmap(
+            lambda p: smpl_mod.smpl_forward(smpl_model, betas, p))(goal_pose_table)
+        warp_table = canonical_verts[None] - goal_verts_table  # [N_img, V, 3]
+
+        goal_verts = jnp.take(goal_verts_table, image_indices, axis=0)
+        warp_vecs = jnp.take(warp_table, image_indices, axis=0)
+        warp = vertex_attention_warp(samples, goal_verts, warp_vecs,
+                                     cfg.warp_radius, cfg.warp_temperature)
+        warped = samples + warp
+        samples_dirs = warped - origins[:, None, :]
+        raw = _run_net(models["model_coarse"], params["model_coarse"],
+                       pos_enc.encode(warped), dir_enc.encode(_normalize(samples_dirs)))
+        out = raw2outputs(raw, z_vals, samples_dirs, noise, cfg.white_background,
+                          rng_nc if train else None)
+        return {"rgb_coarse": out.rgb, "rgb_fine": out.rgb, "warp": warp,
+                "ray_samples": samples, "warped_samples": warped,
+                "densities": out.density}
+
+    # ------------------------------------------------------ append_vertices
+    def append_vertices_fn(params, batch, rng, train):
+        rng_j, rng_nc, rng_nf = _split_rng(rng, 3)
+        samples, z_vals = _coarse(batch, cfg, rng_j if train else None)
+        noise = cfg.sigma_noise_std if train else 0.0
+        origins = batch["ray_translation"]
+        dirs = batch["ray_direction"]
+        R, S = samples.shape[:2]
+        smpl_model = extras["smpl_model"]
+        betas = jnp.asarray(extras["betas"], jnp.float32).reshape(-1)
+        image_indices = batch["image_indices"].astype(jnp.int32)
+        goal_pose_table = models["smpl_estimator"].apply(
+            params["smpl_estimator"],
+            jnp.arange(extras["num_images"], dtype=jnp.int32))
+        goal_verts_table = jax.vmap(
+            lambda p: smpl_mod.smpl_forward(smpl_model, betas, p))(goal_pose_table)
+        verts_flat = jnp.take(goal_verts_table.reshape(goal_verts_table.shape[0], -1),
+                              image_indices, axis=0)  # [R, V*3]
+        # embed the vertex cloud ONCE PER RAY (it is constant across samples);
+        # the reference re-fed the raw 6890*3 block per sample
+        emb = models["vertex_embedder"].apply(params["vertex_embedder"], verts_flat)
+        dirs_exp = jnp.broadcast_to(dirs[:, None, :], samples.shape)
+        dirs_enc_c = dir_enc.encode(_normalize(dirs_exp))
+
+        def run(model_key, smp, de, Sx):
+            prefix = jnp.broadcast_to(emb[:, None, :], (R, Sx, emb.shape[-1]))
+            return _run_net(models[model_key], params[model_key],
+                            pos_enc.encode(smp), de, prefix=prefix)
+
+        raw = run("model_coarse", samples, dirs_enc_c, S)
+        out = raw2outputs(raw, z_vals, dirs_exp, noise, cfg.white_background,
+                          rng_nc if train else None)
+        result = {"rgb_coarse": out.rgb, "densities": out.density,
+                  "ray_samples": samples}
+        if not cfg.run_fine:
+            result["rgb_fine"] = out.rgb
+            return result
+        z_fine, samples_fine = fine_sampling(origins, dirs, z_vals, out.weights,
+                                             cfg.number_fine_samples, cfg.use_pallas)
+        Sf = samples_fine.shape[1]
+        dirs_fine = jnp.broadcast_to(dirs[:, None, :], (R, Sf, 3))
+        de_f = jnp.broadcast_to(dirs_enc_c[:, :1, :], (R, Sf, dirs_enc_c.shape[-1]))
+        raw_f = run("model_fine", samples_fine, de_f, Sf)
+        out_f = raw2outputs(raw_f, z_fine, dirs_fine, noise, cfg.white_background,
+                            rng_nf if train else None)
+        result.update(rgb_fine=out_f.rgb, densities=out_f.density,
+                      ray_samples=samples_fine)
+        return result
+
+    # ------------------------------------------------------------- dispatch
+    if cfg.model_type in ("nerf", "original_nerf"):
+        fn = nerf_fn
+    elif cfg.model_type == "smpl_nerf":
+        fn = smpl_nerf_fn
+    elif cfg.model_type == "append_to_nerf":
+        fn = _append_fn(_two_joint_pose)
+    elif cfg.model_type == "append_smpl_params":
+        fn = _append_fn(lambda batch: batch["human_pose"])
+    elif cfg.model_type in ("smpl", "warp"):
+        fn = smpl_fn
+    elif cfg.model_type == "vertex_sphere":
+        fn = vertex_sphere_fn
+    elif cfg.model_type in ("dummy_dynamic", "image_wise_dynamic"):
+        fn = dynamic_fn
+    elif cfg.model_type == "append_vertex_locations_to_nerf":
+        fn = append_vertices_fn
+    else:
+        raise ValueError(f"unknown model_type {cfg.model_type}")
+    return Pipeline(fn, cfg, models, encoders)

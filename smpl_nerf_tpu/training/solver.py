@@ -1,0 +1,249 @@
+"""Training solver: one jitted train_step + a thin epoch driver.
+
+Replaces the reference's 11 solver classes (solver/*.py, SURVEY.md §2.5): the
+per-variant deltas — which params train, at which learning rate, which loss
+terms — are all config, not code:
+
+  * loss = MSE(rgb_coarse) + MSE(rgb_fine) (reference nerf_solver.py:48-52),
+  * + optional GMM density prior (smpl_nerf_solver.py:39-41; the reference's
+    undefined args.restrict_gmm_loss flag is NOT reproduced),
+  * optax.adam with a multi_transform putting estimator params on lrate_pose
+    (reference append_vertices_solver.py:26-31, image_wise_solver.py:32-36),
+  * frozen-NeRF pose optimization = zero-lr transform on the nerf params
+    (image_wise path, train.py:253-259).
+
+TPU-native details: batches are GATHERS from device-resident dataset arrays
+performed inside the jitted step (no per-batch host->device copy); params and
+optimizer state are donated so Adam updates in place; the whole coarse+fine
+forward/backward is one XLA program; batch arrays are sharded over the mesh
+'data' axis and gradient psums ride ICI.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from smpl_nerf_tpu.core.gmm import GaussianMixture
+from smpl_nerf_tpu.parallel import mesh as mesh_mod
+from smpl_nerf_tpu.pipelines import Pipeline
+
+
+def mse2psnr(mse: float) -> float:
+    """Reference utils.py:484-488."""
+    return -10.0 * np.log10(mse)
+
+
+def make_loss_fn(pipeline: Pipeline, canonical_vertices: Optional[np.ndarray] = None):
+    """Loss = MSE(coarse) + MSE(fine) [+ GMM density prior]."""
+    cfg = pipeline.cfg
+    gmm = None
+    if cfg.use_gmm_loss and canonical_vertices is not None:
+        gmm = GaussianMixture(np.asarray(canonical_vertices), cfg.gmm_std)
+
+    def loss_fn(params, batch, rng, train=True):
+        out = pipeline(params, batch, rng, train)
+        rgb_truth = batch["rgb"]
+        loss_c = jnp.mean((out["rgb_coarse"] - rgb_truth) ** 2)
+        loss_f = jnp.mean((out["rgb_fine"] - rgb_truth) ** 2)
+        loss = loss_c + loss_f
+        aux = {"loss_coarse": loss_c, "loss_fine": loss_f}
+        if gmm is not None and "warped_samples" in out:
+            # density prior: density should match the canonical-body GMM
+            # (reference smpl_nerf_solver.py:35-43)
+            probs = gmm.pdf(out["warped_samples"])
+            densities = out["densities"]
+            gmm_loss = jnp.mean((densities - probs / jnp.maximum(jnp.max(probs), 1e-8)) ** 2)
+            loss = loss + gmm_loss
+            aux["loss_gmm"] = gmm_loss
+        aux["loss"] = loss
+        return loss, aux
+
+    return loss_fn
+
+
+def make_optimizer(params, args, model_type: str,
+                   frozen_nerf: bool = False) -> optax.GradientTransformation:
+    """Adam with param-group learning rates mirroring the reference solvers."""
+    lrate = float(args.lrate)
+    lrate_pose = float(args.lrate_pose)
+    wd = float(getattr(args, "weight_decay", 0) or 0)
+
+    def base_opt(lr):
+        if lr == 0.0:
+            return optax.set_to_zero()
+        if wd > 0:
+            return optax.adamw(lr, weight_decay=wd)
+        return optax.adam(lr)
+
+    def label(path_key) -> str:
+        top = path_key[0].key if hasattr(path_key[0], "key") else str(path_key[0])
+        if top == "smpl_estimator":
+            return "pose"
+        if frozen_nerf and top in ("model_coarse", "model_fine"):
+            return "frozen"
+        return "net"
+
+    labels = jax.tree_util.tree_map_with_path(lambda path, _: label(path), params)
+    return optax.multi_transform(
+        {"net": base_opt(lrate), "pose": base_opt(lrate_pose),
+         "frozen": optax.set_to_zero()},
+        labels)
+
+
+class Solver:
+    """Epoch driver over the jitted train step.
+
+    Handles: per-epoch ray permutation, sharded batches over the device mesh,
+    early validation every log_iterations (reference nerf_solver.py:93-110),
+    full validation with whole-image re-render PSNR, metric logging, and
+    per-epoch checkpointing (reference nerf_solver.py:161-162).
+    """
+
+    def __init__(self, pipeline: Pipeline, params, args,
+                 canonical_vertices: Optional[np.ndarray] = None,
+                 frozen_nerf: bool = False,
+                 mesh=None, log_dir: Optional[str] = None,
+                 writer=None):
+        self.pipeline = pipeline
+        self.args = args
+        self.mesh = mesh if mesh is not None else mesh_mod.make_mesh(
+            getattr(args, "mesh_shape", ""))
+        self.n_data = int(self.mesh.shape["data"])
+        self.loss_fn = make_loss_fn(pipeline, canonical_vertices)
+        self.optimizer = make_optimizer(params, args, args.model_type, frozen_nerf)
+        self.params = jax.device_put(params, mesh_mod.replicate_sharding(self.mesh))
+        self.opt_state = jax.device_put(self.optimizer.init(self.params),
+                                        mesh_mod.replicate_sharding(self.mesh))
+        self.log_dir = log_dir
+        self.writer = writer
+        self.global_step = 0
+        self.history: Dict[str, list] = {"train_loss": [], "val_loss": []}
+
+        data_sh = mesh_mod.data_sharding(self.mesh)
+        repl = mesh_mod.replicate_sharding(self.mesh)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1),
+                           out_shardings=(repl, repl, repl))
+        def train_step(params, opt_state, batch, rng):
+            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, batch, rng, True)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, aux
+
+        @jax.jit
+        def eval_step(params, batch):
+            _, aux = self.loss_fn(params, batch, None, False)
+            return aux
+
+        @jax.jit
+        def render_step(params, batch):
+            out = self.pipeline(params, batch, None, False)
+            return out["rgb_coarse"], out["rgb_fine"]
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+        self._render_step = render_step
+        self._data_sharding = data_sh
+
+    # ---------------------------------------------------------------- utils
+    def _gather_batch(self, arrays: Dict[str, jnp.ndarray], idx: np.ndarray) -> dict:
+        batch = {k: jnp.take(v, jnp.asarray(idx), axis=0) for k, v in arrays.items()}
+        return mesh_mod.shard_batch(batch, self.mesh)
+
+    def _device_arrays(self, data, model_type) -> Dict[str, jnp.ndarray]:
+        return {k: jnp.asarray(v) for k, v in data.batch_arrays(model_type).items()}
+
+    # ---------------------------------------------------------------- train
+    def train(self, train_data, val_data, rng: Optional[jax.Array] = None,
+              callback: Optional[Callable] = None):
+        args = self.args
+        rng = rng if rng is not None else jax.random.PRNGKey(int(getattr(args, "seed", 0)))
+        model_type = args.model_type
+        arrays = self._device_arrays(train_data, model_type)
+        val_arrays = self._device_arrays(val_data, model_type)
+        n = train_data.num_rays
+        bs = mesh_mod.pad_to_multiple(int(args.batchsize), self.n_data)
+        steps_per_epoch = int(getattr(args, "steps_per_epoch", 0)) or max(1, n // bs)
+
+        np_rng = np.random.RandomState(int(getattr(args, "seed", 0)))
+        for epoch in range(int(args.num_epochs)):
+            perm = np_rng.permutation(n)
+            epoch_losses = []
+            t0 = time.time()
+            for step in range(steps_per_epoch):
+                lo = (step * bs) % max(1, n - bs + 1) if n >= bs else 0
+                idx = perm[lo:lo + bs]
+                if len(idx) < bs:  # wrap around for tiny datasets
+                    idx = np.concatenate([idx, perm[:bs - len(idx)]])
+                batch = self._gather_batch(arrays, idx)
+                rng, step_rng = jax.random.split(rng)
+                self.params, self.opt_state, aux = self._train_step(
+                    self.params, self.opt_state, batch, step_rng)
+                epoch_losses.append(aux["loss"])
+                self.global_step += 1
+                if (bool(int(getattr(args, "early_validation", 0)))
+                        and step % int(args.log_iterations) == 0):
+                    val_loss = self._validate(val_arrays, val_data.num_rays)
+                    self._log("val_loss_early", val_loss)
+            train_loss = float(np.mean([float(l) for l in epoch_losses]))
+            val_loss = self._validate(val_arrays, val_data.num_rays)
+            dt = time.time() - t0
+            rays_per_sec = steps_per_epoch * bs / dt
+            self.history["train_loss"].append(train_loss)
+            self.history["val_loss"].append(val_loss)
+            self._log("loss/train", train_loss)
+            self._log("loss/val", val_loss)
+            self._log("perf/rays_per_sec", rays_per_sec)
+            print(f"[epoch {epoch}] train {train_loss:.5f} val {val_loss:.5f} "
+                  f"psnr {mse2psnr(max(val_loss / 2, 1e-10)):.2f} "
+                  f"({rays_per_sec:,.0f} rays/s)")
+            if callback is not None:
+                callback(self, epoch)
+            if self.log_dir:
+                from smpl_nerf_tpu.training import checkpoints
+                checkpoints.save_run(self.log_dir, self.params, args)
+        return self.params
+
+    def _validate(self, val_arrays, n_val: int) -> float:
+        bs = mesh_mod.pad_to_multiple(int(self.args.batchsize_val), self.n_data)
+        losses = []
+        for lo in range(0, max(1, n_val - bs + 1), bs):
+            idx = np.arange(lo, min(lo + bs, n_val))
+            if len(idx) < bs:
+                idx = np.concatenate([idx, np.zeros(bs - len(idx), np.int64)])
+            batch = self._gather_batch(val_arrays, idx)
+            aux = self._eval_step(self.params, batch)
+            losses.append(float(aux["loss"]))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def render_rays_batched(self, data, model_type: Optional[str] = None,
+                            batch_size: Optional[int] = None) -> np.ndarray:
+        """Render every ray of `data`; returns rgb_fine [N, 3] on host."""
+        model_type = model_type or self.args.model_type
+        arrays = self._device_arrays(data, model_type)
+        n = data.num_rays
+        bs = batch_size or mesh_mod.pad_to_multiple(
+            int(self.args.batchsize_val), self.n_data)
+        bs = mesh_mod.pad_to_multiple(bs, self.n_data)
+        out = np.zeros((n, 3), np.float32)
+        for lo in range(0, n, bs):
+            idx = np.arange(lo, min(lo + bs, n))
+            pad = bs - len(idx)
+            if pad:
+                idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+            batch = self._gather_batch(arrays, idx)
+            _, rgb_fine = self._render_step(self.params, batch)
+            out[lo:lo + bs - pad] = np.asarray(rgb_fine)[:bs - pad]
+        return out
+
+    def _log(self, tag: str, value: float):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, value, self.global_step)
