@@ -57,7 +57,7 @@ def coarse_sampling(ray_translation: jnp.ndarray, ray_direction: jnp.ndarray,
     if rng is not None:
         jitter = jax.random.uniform(rng, batch_shape + (1,))
     else:
-        jitter = 0.5
+        jitter = jnp.full(batch_shape + (1,), 0.5)
     z_vals = lower + (upper - lower) * jitter  # [..., S]
     ray_samples = ray_translation[..., None, :] + ray_direction[..., None, :] * z_vals[..., :, None]
     return ray_samples, z_vals
@@ -113,8 +113,10 @@ def fine_sampling(ray_translation: jnp.ndarray, samples_directions: jnp.ndarray,
 
     Reference: utils.py:231-264. Returns (z_vals [R, Sc+Sf], samples [R, Sc+Sf, 3]).
     """
-    z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    inner_weights = weights[..., 1:-1]
+    # the fine z are detached (reference utils.py:260); cutting gradients at the
+    # INPUTS is equivalent and keeps the Pallas kernel out of the autodiff graph
+    z_vals_mid = jax.lax.stop_gradient(0.5 * (z_vals[..., 1:] + z_vals[..., :-1]))
+    inner_weights = jax.lax.stop_gradient(weights[..., 1:-1])
     if use_pallas:
         from smpl_nerf_tpu.ops.sample_pdf_pallas import sample_pdf_fused
         z_samples = sample_pdf_fused(z_vals_mid, inner_weights, number_fine_samples)

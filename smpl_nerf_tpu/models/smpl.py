@@ -58,9 +58,14 @@ class SmplModel(NamedTuple):
 
 
 def rodrigues(axis_angle: jnp.ndarray) -> jnp.ndarray:
-    """Batched axis-angle [..., 3] -> rotation matrices [..., 3, 3]."""
-    angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
-    # safe normalize: zero rotation -> identity
+    """Batched axis-angle [..., 3] -> rotation matrices [..., 3, 3].
+
+    Gradient-safe at the zero rotation: sqrt(max(|aa|^2, eps)) keeps the
+    norm's derivative finite at 0 (d||aa||/daa = aa/||aa|| NaNs there, and
+    zero joint angles are the COMMON case in pose sweeps).
+    """
+    sq = jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True)
+    angle = jnp.sqrt(jnp.maximum(sq, 1e-16))
     axis = axis_angle / jnp.maximum(angle, 1e-8)
     x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
     zeros = jnp.zeros_like(x)

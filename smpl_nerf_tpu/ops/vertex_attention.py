@@ -132,4 +132,7 @@ def vertex_attention_warp(samples: jnp.ndarray, goal_vertices: jnp.ndarray,
     # normalizer of modified_softmax is sum_v exp(att-m) over REAL vertices:
     # the padded tail contributed `pad` spurious exp(0-m) terms — remove them.
     s_exp = s_exp - pad * corr
-    return numer / s_exp[..., None]
+    # guard: when a sample is outside every vertex sphere AND m is large,
+    # exp(-m) underflows and the reference's 0/0 would NaN (it only survives on
+    # denormals); the limit of modified_softmax there is exactly 0 warp.
+    return numer / jnp.maximum(s_exp[..., None], 1e-30)

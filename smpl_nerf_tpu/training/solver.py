@@ -83,10 +83,15 @@ def make_optimizer(params, args, model_type: str,
         return optax.adam(lr)
 
     def label(path_key) -> str:
-        top = path_key[0].key if hasattr(path_key[0], "key") else str(path_key[0])
-        if top == "smpl_estimator":
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path_key]
+        # non-trainable collections (e.g. the dummy estimator's frozen pose
+        # table lives under 'constants' — reference dummy_smpl_estimator_model.py
+        # marks it requires_grad=False)
+        if "constants" in keys or "batch_stats" in keys:
+            return "frozen"
+        if keys[0] == "smpl_estimator":
             return "pose"
-        if frozen_nerf and top in ("model_coarse", "model_fine"):
+        if frozen_nerf and keys[0] in ("model_coarse", "model_fine"):
             return "frozen"
         return "net"
 

@@ -1,0 +1,180 @@
+"""End-to-end tests: tiny synthetic dataset -> training -> loss decreases.
+
+Mirrors the test strategy SURVEY.md §4 prescribes: the deterministic synthetic
+generator is the fixture factory; overfit runs on small data must reduce loss.
+Runs on the 8-virtual-CPU-device mesh (conftest), so it also exercises the
+sharded data-parallel path end to end.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from smpl_nerf_tpu import config as config_mod
+from smpl_nerf_tpu.data import datasets, generate
+from smpl_nerf_tpu.models import smpl as smpl_mod
+from smpl_nerf_tpu.pipelines import RenderConfig, build_pipeline
+from smpl_nerf_tpu.training.factory import build_models_and_params
+from smpl_nerf_tpu.training.solver import Solver
+
+
+def _gen_args(tmpdir, dataset_type="nerf", resolution=16, steps=4, **kw):
+    parser = config_mod.dataset_config_parser()
+    args = parser.parse_args([
+        f"--save_dir={tmpdir}", f"--dataset_type={dataset_type}",
+        f"--resolution={resolution}", "--camera_path=circle",
+        f"--number_steps={steps}", "--human_number_steps=" + str(kw.get("human_steps", steps)),
+        "--train_val_ratio=0.75",
+    ])
+    return args, parser
+
+
+def _train_args(dataset_dir, model_type="nerf", **overrides):
+    parser = config_mod.config_parser()
+    argv = [f"--config=/dev/null", f"--model_type={model_type}",
+            f"--dataset_dir={dataset_dir}", "--num_epochs=2", "--batchsize=128",
+            "--batchsize_val=128", "--number_coarse_samples=8",
+            "--number_fine_samples=8", "--sigma_noise_std=0", "--netdepth=2",
+            "--netwidth=32", "--netdepth_fine=2", "--netwidth_fine=32",
+            "--netwidth_warp=16", "--number_frequencies_postitional=4",
+            "--number_frequencies_directional=2", "--run_fine=0",
+            "--lrate=5e-3"]
+    for k, v in overrides.items():
+        argv.append(f"--{k}={v}")
+    args = parser.parse_args(argv)
+    return args
+
+
+@pytest.fixture(scope="module")
+def nerf_dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds_nerf")
+    args, parser = _gen_args(str(d), "nerf")
+    generate.create_dataset(args, parser)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def smpl_nerf_dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds_smpl_nerf")
+    args, parser = _gen_args(str(d), "smpl_nerf")
+    generate.create_dataset(args, parser)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def smpl_dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds_smpl")
+    args, parser = _gen_args(str(d), "smpl")
+    generate.create_dataset(args, parser)
+    return str(d)
+
+
+def _run_solver(dataset_dir, model_type, extra_overrides=None, extras_extra=None):
+    args = _train_args(dataset_dir, model_type, **(extra_overrides or {}))
+    if model_type in ("vertex_sphere", "dummy_dynamic",
+                      "append_vertex_locations_to_nerf"):
+        args._smpl_model = smpl_mod.procedural_human(rings=3, segments=6)
+    train_data = datasets.load_dataset(os.path.join(dataset_dir, "train"),
+                                       model_type, args)
+    val_data = datasets.load_dataset(os.path.join(dataset_dir, "val"),
+                                     model_type, args)
+    extras = {"num_images": train_data.num_images,
+              "betas": train_data.betas if train_data.betas is not None
+              else np.zeros(10, np.float32)}
+    if train_data.human_poses is not None:
+        extras["goal_poses"] = train_data.human_poses
+    if hasattr(args, "_smpl_model"):
+        extras["smpl_model"] = args._smpl_model
+        extras["num_vertices"] = args._smpl_model.num_vertices
+    if extras_extra:
+        extras.update(extras_extra)
+    models, params, encoders = build_models_and_params(
+        args, jax.random.PRNGKey(0), extras)
+    cfg = RenderConfig.from_args(args)
+    pipeline = build_pipeline(cfg, models, encoders, extras)
+    solver = Solver(pipeline, params, args)
+    solver.train(train_data, val_data)
+    return solver
+
+
+def test_dataset_generation_schema(nerf_dataset):
+    import json
+    with open(os.path.join(nerf_dataset, "train", "transforms.json")) as fh:
+        meta = json.load(fh)
+    assert "camera_angle_x" in meta and "image_transform_map" in meta
+    assert os.path.exists(os.path.join(nerf_dataset, "create_dataset_config.txt"))
+
+
+def test_smpl_dataset_has_pose_map_and_companions(smpl_dataset):
+    import json
+    with open(os.path.join(smpl_dataset, "train", "transforms.json")) as fh:
+        meta = json.load(fh)
+    assert "image_pose_map" in meta and "betas" in meta and "expression" in meta
+    files = os.listdir(os.path.join(smpl_dataset, "train"))
+    assert any(f.startswith("warp_") for f in files)
+    assert any(f.startswith("depth_") for f in files)
+
+
+def test_nerf_coarse_loss_decreases(nerf_dataset):
+    solver = _run_solver(nerf_dataset, "nerf")
+    h = solver.history["train_loss"]
+    assert h[-1] < h[0]
+    assert np.isfinite(h).all()
+
+
+def test_nerf_fine_runs(nerf_dataset):
+    solver = _run_solver(nerf_dataset, "nerf", {"run_fine": 1})
+    assert np.isfinite(solver.history["train_loss"]).all()
+    assert solver.history["train_loss"][-1] < solver.history["train_loss"][0]
+
+
+def test_smpl_nerf_warp_field(smpl_nerf_dataset):
+    solver = _run_solver(smpl_nerf_dataset, "smpl_nerf",
+                         {"human_pose_encoding": 1, "number_frequencies_pose": 2})
+    assert solver.history["train_loss"][-1] < solver.history["train_loss"][0]
+
+
+def test_append_smpl_params(smpl_nerf_dataset):
+    solver = _run_solver(smpl_nerf_dataset, "append_smpl_params",
+                         {"human_pose_encoding": 1, "number_frequencies_pose": 2})
+    assert solver.history["train_loss"][-1] < solver.history["train_loss"][0]
+
+
+def test_append_to_nerf(smpl_nerf_dataset):
+    solver = _run_solver(smpl_nerf_dataset, "append_to_nerf")
+    assert solver.history["train_loss"][-1] < solver.history["train_loss"][0]
+
+
+def test_single_sample_smpl(smpl_dataset):
+    solver = _run_solver(smpl_dataset, "smpl")
+    assert solver.history["train_loss"][-1] < solver.history["train_loss"][0]
+
+
+def test_vertex_sphere(smpl_nerf_dataset):
+    solver = _run_solver(smpl_nerf_dataset, "vertex_sphere",
+                         {"vertex_sphere_radius": 0.05})
+    assert np.isfinite(solver.history["train_loss"]).all()
+
+
+def test_dummy_dynamic(smpl_nerf_dataset):
+    solver = _run_solver(smpl_nerf_dataset, "dummy_dynamic",
+                         {"warp_radius": 0.05, "batchsize": 32,
+                          "number_coarse_samples": 4})
+    assert np.isfinite(solver.history["train_loss"]).all()
+
+
+def test_append_vertex_locations(smpl_nerf_dataset):
+    solver = _run_solver(smpl_nerf_dataset, "append_vertex_locations_to_nerf",
+                         {"batchsize": 32, "number_coarse_samples": 4})
+    assert np.isfinite(solver.history["train_loss"]).all()
+
+
+def test_render_rays_batched_shape(nerf_dataset):
+    solver = _run_solver(nerf_dataset, "nerf")
+    val_data = datasets.load_dataset(os.path.join(nerf_dataset, "val"), "nerf",
+                                     _train_args(nerf_dataset))
+    out = solver.render_rays_batched(val_data)
+    assert out.shape == (val_data.num_rays, 3)
+    assert np.isfinite(out).all()
