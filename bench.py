@@ -1,0 +1,177 @@
+#!/usr/bin/env python3
+"""Benchmark: training throughput (rays/sec/chip) + 128x128 render latency.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Measures the flagship smpl_nerf configuration at the reference's default step
+shape (2048 rays x 64 coarse + 192-sample fine pass through 8x256 MLPs,
+/root/reference/config_parser.py:53,70-71) on the available chip, plus the
+full-image 128x128 novel-view render latency (BASELINE.json target: <100 ms).
+
+vs_baseline: the BASELINE.json quantitative target is >10x PyTorch-CPU
+throughput; we measure the actual reference-equivalent PyTorch step on this
+host's CPU (same tensor shapes, same MLPs, torch is in the image) and report
+the ratio. Extra detail lands on stderr; stdout is exactly one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _stderr(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_jax(batch: int = 2048, steps: int = 30):
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from smpl_nerf_tpu.training.solver import make_loss_fn
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    use_pallas = 1 if jax.default_backend() == "tpu" else 0
+    args, pipeline, params = g._build([
+        f"--use_pallas={use_pallas}", "--sigma_noise_std=1", "--run_fine=1",
+        "--compute_dtype=bfloat16",
+    ])
+    loss_fn = make_loss_fn(pipeline)
+    tx = optax.adam(5e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batch_data, rng):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_data, rng, True)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    data = g._example_batch(batch)
+    rng = jax.random.PRNGKey(0)
+
+    # compile + warmup. NOTE: on the axon-tunnelled TPU, block_until_ready
+    # returns immediately — a host transfer of the scalar loss is the only
+    # honest sync, and it forces the whole dependent chain of steps.
+    params, opt_state, loss = train_step(params, opt_state, data, rng)
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = train_step(params, opt_state, data, sub)
+    float(loss)
+    dt = time.perf_counter() - t0
+    rays_per_sec = batch * steps / dt
+    _stderr(f"jax train: {rays_per_sec:,.0f} rays/s ({dt/steps*1e3:.1f} ms/step, "
+            f"backend={jax.default_backend()})")
+
+    # ---- render latency: full 128x128 image, coarse+fine forward ----
+    @jax.jit
+    def render(params, batch_data):
+        return pipeline(params, batch_data, None, False)["rgb_fine"]
+
+    img_batch = g._example_batch(128 * 128)
+    np.asarray(render(params, img_batch))  # compile + warm
+    t0 = time.perf_counter()
+    n_r = 5
+    for _ in range(n_r):
+        out = np.asarray(render(params, img_batch))
+    render_ms = (time.perf_counter() - t0) / n_r * 1e3
+    _stderr(f"128x128 render: {render_ms:.1f} ms")
+    return rays_per_sec, render_ms
+
+
+def bench_torch_cpu(batch: int = 256, steps: int = 3):
+    """Reference-equivalent PyTorch-CPU training step (the BASELINE comparator).
+
+    Recreates the reference smpl_nerf step shape in torch on CPU: warp field on
+    encoded samples, 8x256 coarse MLP on 64 samples, fine pass on 192 samples,
+    MSE backward, Adam step. Extrapolates rays/s from a smaller batch (CPU is
+    slow; shapes per ray are identical so rays/s is batch-invariant).
+    """
+    import torch
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    pos_L, dir_L, pose_L = 10, 4, 10
+    pos_dim, dir_dim, pose_dim = 3 * 2 * pos_L, 3 * 2 * dir_L, 2 * 2 * pose_L
+    S_c, S_f = 64, 192
+
+    def mlp(sizes):
+        layers = []
+        for i in range(len(sizes) - 2):
+            layers += [torch.nn.Linear(sizes[i], sizes[i + 1]), torch.nn.ReLU()]
+        layers += [torch.nn.Linear(sizes[-2], sizes[-1])]
+        return torch.nn.Sequential(*layers)
+
+    coarse = mlp([pos_dim + dir_dim] + [256] * 8 + [4])
+    fine = mlp([pos_dim + dir_dim] + [256] * 8 + [4])
+    warp = mlp([pos_dim + pose_dim, 256, 3])
+    opt = torch.optim.Adam(list(coarse.parameters()) + list(fine.parameters())
+                           + list(warp.parameters()), lr=5e-4)
+
+    def encode(x, L):
+        freqs = 2.0 ** torch.arange(L, dtype=torch.float32)
+        s = x[..., None, :] * freqs[:, None]
+        return torch.cat([torch.sin(s), torch.cos(s)], -2).reshape(*x.shape[:-1], -1)
+
+    def step():
+        opt.zero_grad()
+        samples = torch.randn(batch, S_c, 3)
+        pose = torch.randn(batch, 2)
+        pe = encode(samples, pos_L)
+        po = encode(pose, pose_L)[:, None, :].expand(batch, S_c, pose_dim)
+        w = warp(torch.cat([pe, po], -1).reshape(-1, pos_dim + pose_dim))
+        warped = samples + w.view(batch, S_c, 3)
+        pe2 = encode(warped, pos_L)
+        de = encode(torch.randn(batch, S_c, 3), dir_L)
+        raw = coarse(torch.cat([pe2, de], -1).reshape(-1, pos_dim + dir_dim))
+        raw = raw.view(batch, S_c, 4)
+        sf = torch.randn(batch, S_f, 3)
+        pef = encode(sf, pos_L)
+        def_ = encode(torch.randn(batch, S_f, 3), dir_L)
+        raw_f = fine(torch.cat([pef, def_], -1).reshape(-1, pos_dim + dir_dim))
+        raw_f = raw_f.view(batch, S_f, 4)
+        rgb_c = torch.sigmoid(raw[..., :3]).mean(1)
+        rgb_f = torch.sigmoid(raw_f[..., :3]).mean(1)
+        target = torch.rand(batch, 3)
+        loss = ((rgb_c - target) ** 2).mean() + ((rgb_f - target) ** 2).mean()
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = time.perf_counter() - t0
+    rays_per_sec = batch * steps / dt
+    _stderr(f"torch-cpu reference step: {rays_per_sec:,.0f} rays/s")
+    return rays_per_sec
+
+
+def main():
+    rays_per_sec, render_ms = bench_jax()
+    try:
+        torch_rays = bench_torch_cpu()
+    except Exception as e:  # noqa: BLE001
+        _stderr("torch baseline failed:", e)
+        torch_rays = None
+    vs = (rays_per_sec / torch_rays) if torch_rays else 0.0
+    _stderr(f"render latency vs 100ms target: {render_ms:.1f} ms")
+    print(json.dumps({
+        "metric": "smpl_nerf train throughput (2048 rays/step, 64c+192f, 8x256 MLPs)",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/sec/chip",
+        "vs_baseline": round(vs, 2),
+        "extra": {"render_128x128_ms": round(render_ms, 2),
+                  "torch_cpu_rays_per_sec": round(torch_rays, 1) if torch_rays else None},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,34 +40,39 @@ def _kernel(bins_ref, weights_ref, out_ref, *, n_fine: int):
     T, K = bins.shape
 
     pdf = weights / jnp.sum(weights, -1, keepdims=True)
-    cdf_tail = jnp.cumsum(pdf, -1)           # [T, K-1]
+    # cumsum as an upper-triangular-ones matmul (no cumsum lowering in Mosaic;
+    # the MXU does a [T, K-1] x [K-1, K-1] dot in one pass anyway)
+    row = jax.lax.broadcasted_iota(jnp.int32, (K - 1, K - 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K - 1, K - 1), 1)
+    tri = (row <= col).astype(jnp.float32)
+    cdf_tail = jnp.dot(pdf, tri, preferred_element_type=jnp.float32)  # [T, K-1]
     cdf = jnp.concatenate([jnp.zeros((T, 1), cdf_tail.dtype), cdf_tail], -1)  # [T, K]
 
-    # u = linspace(0, 1, F) broadcast over the tile
-    q = jax.lax.broadcasted_iota(jnp.float32, (T, n_fine), 1)
-    u = q * (1.0 / (n_fine - 1))
+    # u = linspace(0, 1, F) broadcast over the tile (iota must be integer)
+    q = jax.lax.broadcasted_iota(jnp.int32, (T, n_fine), 1)
+    u = q.astype(jnp.float32) * (1.0 / (n_fine - 1))
 
-    # pass 1: inds[r, f] = #{k : u[r, f] >= cdf[r, k]}  (searchsorted right)
-    def count_body(k, inds):
-        return inds + (u >= cdf[:, k][:, None]).astype(jnp.int32)
-
-    inds = jax.lax.fori_loop(0, K, count_body, jnp.zeros((T, n_fine), jnp.int32))
+    # pass 1: inds[r, f] = #{k : u[r, f] >= cdf[r, k]}  (searchsorted right).
+    # K is small and static -> unroll with STATIC column slices (Mosaic has no
+    # dynamic_slice on values inside fori_loop).
+    inds = jnp.zeros((T, n_fine), jnp.int32)
+    for k in range(K):
+        inds = inds + (u >= cdf[:, k:k + 1]).astype(jnp.int32)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, K - 1)
 
     # pass 2: gather cdf/bins at below/above by select-scan over k
-    def gather_body(k, carry):
-        cdf_g0, cdf_g1, bins_g0, bins_g1 = carry
-        ck = cdf[:, k][:, None]
-        bk = bins[:, k][:, None]
+    zeros = jnp.zeros((T, n_fine), jnp.float32)
+    cdf_g0, cdf_g1, bins_g0, bins_g1 = zeros, zeros, zeros, zeros
+    for k in range(K):
+        ck = cdf[:, k:k + 1]
+        bk = bins[:, k:k + 1]
         is_b = below == k
         is_a = above == k
-        return (jnp.where(is_b, ck, cdf_g0), jnp.where(is_a, ck, cdf_g1),
-                jnp.where(is_b, bk, bins_g0), jnp.where(is_a, bk, bins_g1))
-
-    zeros = jnp.zeros((T, n_fine), jnp.float32)
-    cdf_g0, cdf_g1, bins_g0, bins_g1 = jax.lax.fori_loop(
-        0, K, gather_body, (zeros, zeros, zeros, zeros))
+        cdf_g0 = jnp.where(is_b, ck, cdf_g0)
+        cdf_g1 = jnp.where(is_a, ck, cdf_g1)
+        bins_g0 = jnp.where(is_b, bk, bins_g0)
+        bins_g1 = jnp.where(is_a, bk, bins_g1)
 
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < 1e-5, 1.0, denom)
