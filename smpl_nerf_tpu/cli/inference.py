@@ -1,0 +1,137 @@
+"""Inference: load a trained run dir, re-render a dataset, score, save GIF.
+
+Mirrors /root/reference/inference.py: `inference()` rebuilds the pipeline from
+the run dir's resolved config.txt + weights (inference.py:112-220), renders the
+ground-truth directory in order, prints MSE/PSNR/SSIM/LPIPS
+(inference.py:258) and writes PNGs + a walking.gif (inference.py:264-276).
+`inference_gif()` re-renders train+val in original dataset order using the
+train_index/val_index recorded in create_dataset_config.txt
+(inference.py:35-110, invoked from train.py after training).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+
+from smpl_nerf_tpu import config as config_mod
+from smpl_nerf_tpu.data import datasets
+from smpl_nerf_tpu.evaluation import print_scores
+from smpl_nerf_tpu.models import smpl as smpl_mod
+from smpl_nerf_tpu.pipelines import RenderConfig, build_pipeline
+from smpl_nerf_tpu.training import checkpoints
+from smpl_nerf_tpu.training.factory import build_models_and_params
+from smpl_nerf_tpu.training.solver import Solver
+
+
+def inference_parser():
+    parser = config_mod.ConfigArgumentParser()
+    parser.add_argument("--inf_run_dir", default="runs/latest", help="path to load model")
+    parser.add_argument("--inf_ground_truth_dir", default="data/val")
+    parser.add_argument("--inf_model_type", default=None, type=str,
+                        help="defaults to the run's trained model_type")
+    parser.add_argument("--inf_save_dir", default="renders_test")
+    parser.add_argument("--inf_batchsize", default=800, type=int)
+    return parser
+
+
+def setup_from_run_dir(run_dir: str, model_type: Optional[str] = None):
+    """Rebuild (args, pipeline, params, solver) from a run directory."""
+    parser = config_mod.config_parser()
+    cfg_path = os.path.join(run_dir, "config.txt")
+    args = parser.parse_args([f"--config={cfg_path}"])
+    if model_type:
+        args.model_type = model_type
+    extras = {}
+    if args.model_type in ("vertex_sphere", "dummy_dynamic", "image_wise_dynamic",
+                           "append_vertex_locations_to_nerf"):
+        sm = smpl_mod.procedural_human()
+        args._smpl_model = sm
+        extras["smpl_model"] = sm
+        extras["num_vertices"] = sm.num_vertices
+    return args, extras, parser
+
+
+def render_dataset(args, extras, run_dir: str, data) -> np.ndarray:
+    """Render every image of `data` through the run's weights -> [N, h, w, 3]."""
+    extras = dict(extras)
+    extras["num_images"] = data.num_images
+    extras["betas"] = (data.betas if data.betas is not None
+                       else np.zeros(10, np.float32))
+    if data.human_poses is not None:
+        extras["goal_poses"] = data.human_poses
+    models, params, encoders = build_models_and_params(
+        args, jax.random.PRNGKey(0), extras)
+    params = checkpoints.load_run(run_dir, params)
+    cfg = RenderConfig.from_args(args)
+    pipeline = build_pipeline(cfg, models, encoders, extras)
+    solver = Solver(pipeline, params, args)
+    rgb = solver.render_rays_batched(data)
+    return rgb.reshape(data.num_images, data.h, data.w, 3)
+
+
+def save_rerenders(rgb_images: np.ndarray, output_dir: str, make_gif: bool = True):
+    """PNG per image + walking.gif — reference inference.py:268-276.
+
+    Images are stored BGR in the pipeline (cv2 read contract); flip for files.
+    """
+    import imageio
+    os.makedirs(output_dir, exist_ok=True)
+    frames = []
+    for i, img in enumerate(rgb_images):
+        rgb8 = (np.clip(img[..., ::-1], 0, 1) * 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(output_dir, f"img_{i:03d}.png"), rgb8)
+        frames.append(rgb8)
+    if make_gif and frames:
+        imageio.mimsave(os.path.join(output_dir, "walking.gif"), frames, fps=10)
+
+
+def inference(argv=None):
+    parser = inference_parser()
+    inf_args, _ = parser.parse_known_args(argv)
+    args, extras, _ = setup_from_run_dir(inf_args.inf_run_dir, inf_args.inf_model_type)
+    data = datasets.load_dataset(inf_args.inf_ground_truth_dir, args.model_type, args)
+    renders = render_dataset(args, extras, inf_args.inf_run_dir, data)
+    truths = data.rgb.reshape(data.num_images, data.h, data.w, 3)
+    scores = print_scores(renders, truths)
+    save_rerenders(renders, inf_args.inf_save_dir)
+    print("Renders saved under", inf_args.inf_save_dir)
+    return scores
+
+
+def inference_gif(run_dir: str, args, train_data, val_data):
+    """Re-render train+val in original creation order -> <run_dir>/inference.gif.
+
+    Order comes from train_index/val_index in create_dataset_config.txt
+    (reference inference.py:42-101).
+    """
+    ds_cfg = os.path.join(run_dir, "create_dataset_config.txt")
+    order = None
+    if os.path.exists(ds_cfg):
+        import re
+        text = open(ds_cfg).read()
+        def grab(key):
+            m = re.search(rf"^{key} = \[(.*)\]$", text, re.M)
+            return [int(v) for v in m.group(1).split(",") if v.strip()] if m else []
+        train_idx, val_idx = grab("train_index"), grab("val_index")
+        if train_idx or val_idx:
+            order = np.argsort(np.concatenate([train_idx, val_idx]))
+    extras = {}
+    if hasattr(args, "_smpl_model"):
+        extras["smpl_model"] = args._smpl_model
+        extras["num_vertices"] = args._smpl_model.num_vertices
+    renders = []
+    for data in (train_data, val_data):
+        renders.append(render_dataset(args, extras, run_dir, data))
+    all_renders = np.concatenate(renders)
+    if order is not None and len(order) == len(all_renders):
+        all_renders = all_renders[order]
+    save_rerenders(all_renders, run_dir, make_gif=True)
+    return all_renders
+
+
+if __name__ == "__main__":
+    inference()

@@ -96,9 +96,14 @@ class ConfigArgumentParser(argparse.ArgumentParser):
         config_path = None
         for dest in self._config_file_args:
             flag = "--" + dest
-            if flag in argv:
-                idx = argv.index(flag)
-                config_path = argv[idx + 1]
+            explicit = None
+            for i, tok in enumerate(argv):
+                if tok == flag and i + 1 < len(argv):
+                    explicit = argv[i + 1]
+                elif tok.startswith(flag + "="):
+                    explicit = tok.split("=", 1)[1]
+            if explicit is not None:
+                config_path = explicit
             else:
                 for action in self._actions:
                     if action.dest == dest and action.default:
