@@ -235,6 +235,8 @@ def config_parser() -> ConfigArgumentParser:
                         help="device mesh, e.g. '8' (data) or '4,2' (data,model); '' = all devices on data axis")
     parser.add_argument("--use_pallas", type=int, default=1,
                         help="use the fused Pallas inverse-CDF sampler on TPU")
+    parser.add_argument("--use_fused_mlp", type=int, default=0,
+                        help="run RenderRayNet as one fused Pallas kernel (TPU)")
     parser.add_argument("--steps_per_epoch", type=int, default=0,
                         help="0 = full epoch (dataset_size/batchsize steps)")
     parser.add_argument("--seed", type=int, default=0)

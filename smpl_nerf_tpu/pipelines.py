@@ -55,6 +55,7 @@ class RenderConfig:
     human_pose_encoding: bool = False
     human_joints: tuple = (41, 38)
     use_pallas: bool = False
+    use_fused_mlp: bool = False
     warp_radius: float = 0.01
     warp_temperature: float = 10000.0
     use_gmm_loss: bool = False
@@ -73,6 +74,7 @@ class RenderConfig:
             human_pose_encoding=bool(int(args.human_pose_encoding)),
             human_joints=tuple(int(j) for j in args.human_joints),
             use_pallas=bool(int(getattr(args, "use_pallas", 0))),
+            use_fused_mlp=bool(int(getattr(args, "use_fused_mlp", 0))),
             warp_radius=float(args.warp_radius),
             warp_temperature=float(args.warp_temperature),
             use_gmm_loss=bool(int(args.use_gmm_loss)),
@@ -96,16 +98,36 @@ def _normalize(v: jnp.ndarray) -> jnp.ndarray:
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
 
-def _run_net(model, params, samples_enc, dirs_enc, prefix=None):
-    """Flatten [R,S,E] encodings to the [R*S, E] MLP megabatch and reshape back."""
-    R, S = samples_enc.shape[:2]
-    parts = []
-    if prefix is not None:
-        parts.append(prefix.reshape(R * S, -1))
-    parts += [samples_enc.reshape(R * S, -1), dirs_enc.reshape(R * S, -1)]
-    inputs = jnp.concatenate(parts, -1)
-    raw = model.apply(params, inputs)
-    return raw.reshape(R, S, raw.shape[-1])
+def _make_net_runner(cfg, models):
+    """Returns run(key, params, samples_enc, dirs_enc, prefix) -> raw [R,S,4].
+
+    Flattens [R,S,E] encodings into the [R*S, E] MLP megabatch. When
+    cfg.use_fused_mlp is set and the net is a plain RenderRayNet, the whole MLP
+    runs as the fused Pallas kernel (ops/fused_mlp.py) instead of a chain of
+    XLA matmuls.
+    """
+    from smpl_nerf_tpu.models import RenderRayNet
+    from smpl_nerf_tpu.ops import fused_mlp as fused_mod
+
+    specs = {}
+    for key, model in models.items():
+        if isinstance(model, RenderRayNet) and cfg.use_fused_mlp:
+            specs[key] = fused_mod.spec_from_model(model)
+
+    def run(key, params, samples_enc, dirs_enc, prefix=None):
+        R, S = samples_enc.shape[:2]
+        parts = []
+        if prefix is not None:
+            parts.append(prefix.reshape(R * S, -1))
+        parts += [samples_enc.reshape(R * S, -1), dirs_enc.reshape(R * S, -1)]
+        inputs = jnp.concatenate(parts, -1)
+        if key in specs:
+            raw = fused_mod.fused_apply(specs[key], params[key], inputs)
+        else:
+            raw = models[key].apply(params[key], inputs)
+        return raw.reshape(R, S, raw.shape[-1])
+
+    return run
 
 
 class Pipeline:
@@ -147,6 +169,7 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
       'canonical_pose' [69], 'goal_pose_table' [N_img, 69] etc.
     """
     extras = extras or {}
+    _run = _make_net_runner(cfg, models)
     pos_enc = encoders["position"]
     dir_enc = encoders["direction"]
     pose_enc = encoders["human_pose"]
@@ -161,7 +184,7 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         S = samples.shape[1]
         dirs_exp = jnp.broadcast_to(dirs[:, None, :], samples.shape)
         dirs_enc = dir_enc.encode(_normalize(dirs_exp))
-        raw = _run_net(models["model_coarse"], params["model_coarse"],
+        raw = _run("model_coarse", params,
                        pos_enc.encode(samples), dirs_enc)
         out = raw2outputs(raw, z_vals, dirs_exp, noise, cfg.white_background,
                           rng_nc if train else None)
@@ -176,10 +199,10 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         dirs_fine = jnp.broadcast_to(dirs[:, None, :], (dirs.shape[0], Sf, 3))
         # the reference reuses the first coarse sample's direction encoding
         # (nerf_pipeline.py:51-53) — directions are constant per ray, same thing
-        raw_f = _run_net(models["model_fine"], params["model_fine"],
-                         pos_enc.encode(samples_fine),
-                         jnp.broadcast_to(dirs_enc[:, :1, :],
-                                          (dirs.shape[0], Sf, dirs_enc.shape[-1])))
+        raw_f = _run("model_fine", params,
+                     pos_enc.encode(samples_fine),
+                     jnp.broadcast_to(dirs_enc[:, :1, :],
+                                      (dirs.shape[0], Sf, dirs_enc.shape[-1])))
         out_f = raw2outputs(raw_f, z_fine, dirs_fine, noise, cfg.white_background,
                             rng_nf if train else None)
         result.update(rgb_fine=out_f.rgb, densities=out_f.density,
@@ -219,7 +242,7 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         ).reshape(R, S, 3)
         warped = samples + warp
         samples_dirs = warped - origins[:, None, :]
-        raw = _run_net(models["model_coarse"], params["model_coarse"],
+        raw = _run("model_coarse", params,
                        pos_enc.encode(warped), dir_enc.encode(_normalize(samples_dirs)))
         out = raw2outputs(raw, z_vals, samples_dirs, noise, cfg.white_background,
                           rng_nc if train else None)
@@ -236,7 +259,7 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         ).reshape(R, Sf, 3)
         warped_f = samples_fine + warp_f
         fine_dirs = warped_f - origins[:, None, :]
-        raw_f = _run_net(models["model_fine"], params["model_fine"],
+        raw_f = _run("model_fine", params,
                          pos_enc.encode(warped_f), dir_enc.encode(_normalize(fine_dirs)))
         # reference integrates the fine pass with the UNwarped per-ray direction
         # (smpl_nerf_pipeline.py:95-98)
@@ -264,8 +287,8 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
             def run(model_key, smp, de, Sx):
                 prefix = jnp.broadcast_to(pose_feat[:, None, :],
                                           (R, Sx, pose_feat.shape[-1]))
-                return _run_net(models[model_key], params[model_key],
-                                pos_enc.encode(smp), de, prefix=prefix)
+                return _run(model_key, params, pos_enc.encode(smp), de,
+                            prefix=prefix)
 
             raw = run("model_coarse", samples, dirs_enc_c, S)
             out = raw2outputs(raw, z_vals, dirs_exp, noise, cfg.white_background,
@@ -288,6 +311,24 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
             return result
         return fn
 
+    # -------------------------------------------------------- supervised warp
+    def warp_fn(params, batch, rng, train):
+        """Supervised warp-field training (reference solver/warp_solver.py:31-43):
+        predict the per-sample warp from (sample, 2-joint pose) and compare
+        against the dataset's ground-truth warp (the solver's loss uses
+        out['warp'] vs batch['warp']). NOTE: the reference's tuple-order bug
+        (warp_solver.py:69 vs single_sample_dataset.py:122-125 swapping
+        warp/rgb) is not reproduced — we train against the actual warp."""
+        sample = batch["ray_samples"]          # [R, 3] surface sample
+        pose2 = _two_joint_pose(batch)
+        if cfg.human_pose_encoding:
+            inputs = jnp.concatenate([pos_enc.encode(sample),
+                                      pose_enc.encode(pose2)], -1)
+        else:
+            inputs = jnp.concatenate([sample, pose2], -1)
+        warp = models["model_warp_field"].apply(params["model_warp_field"], inputs)
+        return {"warp": warp, "rgb_coarse": batch["rgb"], "rgb_fine": batch["rgb"]}
+
     # ----------------------------------------------------- single-sample smpl
     def smpl_fn(params, batch, rng, train):
         sample = batch["ray_samples"]          # [R, 3] surface sample
@@ -309,7 +350,7 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         origins = batch["ray_translation"]
         warped = samples + warp
         samples_dirs = warped - origins[:, None, :]
-        raw = _run_net(models["model_coarse"], params["model_coarse"],
+        raw = _run("model_coarse", params,
                        pos_enc.encode(warped), dir_enc.encode(_normalize(samples_dirs)))
         out = raw2outputs(raw, z_vals, samples_dirs, noise, cfg.white_background,
                           rng_nc if train else None)
@@ -346,7 +387,7 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
                                      cfg.warp_radius, cfg.warp_temperature)
         warped = samples + warp
         samples_dirs = warped - origins[:, None, :]
-        raw = _run_net(models["model_coarse"], params["model_coarse"],
+        raw = _run("model_coarse", params,
                        pos_enc.encode(warped), dir_enc.encode(_normalize(samples_dirs)))
         out = raw2outputs(raw, z_vals, samples_dirs, noise, cfg.white_background,
                           rng_nc if train else None)
@@ -380,8 +421,8 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
 
         def run(model_key, smp, de, Sx):
             prefix = jnp.broadcast_to(emb[:, None, :], (R, Sx, emb.shape[-1]))
-            return _run_net(models[model_key], params[model_key],
-                            pos_enc.encode(smp), de, prefix=prefix)
+            return _run(model_key, params, pos_enc.encode(smp), de,
+                        prefix=prefix)
 
         raw = run("model_coarse", samples, dirs_enc_c, S)
         out = raw2outputs(raw, z_vals, dirs_exp, noise, cfg.white_background,
@@ -412,8 +453,10 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         fn = _append_fn(_two_joint_pose)
     elif cfg.model_type == "append_smpl_params":
         fn = _append_fn(lambda batch: batch["human_pose"])
-    elif cfg.model_type in ("smpl", "warp"):
+    elif cfg.model_type == "smpl":
         fn = smpl_fn
+    elif cfg.model_type == "warp":
+        fn = warp_fn
     elif cfg.model_type == "vertex_sphere":
         fn = vertex_sphere_fn
     elif cfg.model_type in ("dummy_dynamic", "image_wise_dynamic"):

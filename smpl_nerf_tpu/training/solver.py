@@ -49,6 +49,11 @@ def make_loss_fn(pipeline: Pipeline, canonical_vertices: Optional[np.ndarray] = 
 
     def loss_fn(params, batch, rng, train=True):
         out = pipeline(params, batch, rng, train)
+        if cfg.model_type == "warp":
+            # supervised warp training: MSE against the dataset's gt warp
+            # (reference warp_solver.py:70-73)
+            loss = jnp.mean((out["warp"] - batch["warp"]) ** 2)
+            return loss, {"loss": loss, "loss_coarse": loss, "loss_fine": loss}
         rgb_truth = batch["rgb"]
         loss_c = jnp.mean((out["rgb_coarse"] - rgb_truth) ** 2)
         loss_f = jnp.mean((out["rgb_fine"] - rgb_truth) ** 2)
@@ -153,9 +158,16 @@ class Solver:
             out = self.pipeline(params, batch, None, False)
             return out["rgb_coarse"], out["rgb_fine"]
 
+        @jax.jit
+        def debug_render_step(params, batch):
+            out = self.pipeline(params, batch, None, False)
+            return {k: out[k] for k in ("rgb_fine", "densities", "ray_samples", "warp")
+                    if k in out}
+
         self._train_step = train_step
         self._eval_step = eval_step
         self._render_step = render_step
+        self._debug_render_step = debug_render_step
         self._data_sharding = data_sh
 
     # ---------------------------------------------------------------- utils
@@ -210,12 +222,57 @@ class Solver:
             print(f"[epoch {epoch}] train {train_loss:.5f} val {val_loss:.5f} "
                   f"psnr {mse2psnr(max(val_loss / 2, 1e-10)):.2f} "
                   f"({rays_per_sec:,.0f} rays/s)")
+            if self.writer is not None:
+                self._log_rerenders(val_arrays, val_data, epoch)
             if callback is not None:
                 callback(self, epoch)
             if self.log_dir:
                 from smpl_nerf_tpu.training import checkpoints
                 checkpoints.save_run(self.log_dir, self.params, args)
         return self.params
+
+    def _log_rerenders(self, val_arrays, val_data, epoch: int):
+        """GT-vs-rerender grids + warp clouds + density dumps per epoch.
+
+        Parity with the reference's per-epoch validation logging
+        (nerf_solver.py:137-159: accumulate whole images, tensorboard_rerenders,
+        vedo_data density point clouds).
+        """
+        from smpl_nerf_tpu.training import logging as log_mod
+        n_img = min(int(self.args.number_validation_images), val_data.num_images)
+        if n_img <= 0:
+            return
+        hw = val_data.h * val_data.w
+        bs = mesh_mod.pad_to_multiple(min(hw, 4096), self.n_data)
+        renders, gts, warps, densities, samples = [], [], None, [], []
+        for i in range(n_img):
+            rgb_img, warp_img = [], []
+            for lo in range(i * hw, (i + 1) * hw, bs):
+                idx = np.arange(lo, min(lo + bs, (i + 1) * hw))
+                pad = bs - len(idx)
+                if pad:
+                    idx = np.concatenate([idx, np.full(pad, idx[-1])])
+                batch = self._gather_batch(val_arrays, idx)
+                out = self._debug_render_step(self.params, batch)
+                take = bs - pad
+                rgb_img.append(np.asarray(out["rgb_fine"])[:take])
+                if "warp" in out:
+                    warp_img.append(
+                        np.linalg.norm(np.asarray(out["warp"])[:take], axis=-1).max(-1))
+                if lo == i * hw and "densities" in out and "ray_samples" in out:
+                    densities.append(np.asarray(out["densities"])[:take])
+                    samples.append(np.asarray(out["ray_samples"])[:take])
+            renders.append(np.concatenate(rgb_img).reshape(val_data.h, val_data.w, 3))
+            gts.append(val_data.rgb[i * hw:(i + 1) * hw].reshape(val_data.h, val_data.w, 3))
+            if warp_img:
+                if warps is None:
+                    warps = []
+                warps.append(np.concatenate(warp_img).reshape(val_data.h, val_data.w))
+        log_mod.tensorboard_rerenders(self.writer, n_img, np.stack(renders),
+                                      np.stack(gts), self.global_step,
+                                      np.stack(warps) if warps else None)
+        if self.log_dir and densities:
+            log_mod.vedo_data(self.log_dir, densities[0], samples[0], epoch=epoch)
 
     def _validate(self, val_arrays, n_val: int) -> float:
         bs = mesh_mod.pad_to_multiple(int(self.args.batchsize_val), self.n_data)

@@ -152,6 +152,15 @@ def test_single_sample_smpl(smpl_dataset):
     assert solver.history["train_loss"][-1] < solver.history["train_loss"][0]
 
 
+def test_supervised_warp_training(smpl_dataset):
+    solver = _run_solver(smpl_dataset, "warp",
+                         {"human_pose_encoding": 1, "number_frequencies_pose": 2,
+                          "num_epochs": 3})
+    h = solver.history["train_loss"]
+    assert h[-1] < h[0]
+    assert np.isfinite(h).all()
+
+
 def test_vertex_sphere(smpl_nerf_dataset):
     solver = _run_solver(smpl_nerf_dataset, "vertex_sphere",
                          {"vertex_sphere_radius": 0.05})
