@@ -42,6 +42,10 @@ def train(argv: Optional[list] = None, log_dir: Optional[str] = None,
     args = parser.parse_args(argv)
     if args.model_type not in config_mod.MODEL_TYPES:
         raise Exception("The model type you stated is unknown")
+    if int(getattr(args, "multihost", 0)):
+        # multi-host pods: same code; jax.devices() then spans the slice and
+        # batches shard over every chip (SURVEY.md §2.9 communication plan)
+        jax.distributed.initialize()
     np.random.seed(int(getattr(args, "seed", 0)))
     rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
 
@@ -102,9 +106,24 @@ def train(argv: Optional[list] = None, log_dir: Optional[str] = None,
 
     solver = Solver(pipeline, params, args, canonical_vertices,
                     log_dir=log_dir, writer=writer)
-    solver.train(train_data, val_data)
+    profile_dir = getattr(args, "profile_dir", None)
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            solver.train(train_data, val_data)
+    else:
+        solver.train(train_data, val_data)
     checkpoints.save_run(log_dir, solver.params, args, parser, args.dataset_dir)
     print("Run saved under", log_dir)
+    if (int(getattr(args, "render_gif", 0))
+            and args.model_type in ("append_smpl_params", "append_to_nerf",
+                                    "nerf", "smpl_nerf")):
+        # reference renders the whole train+val distribution after training
+        # (train.py:183,203 -> inference.py:35-110)
+        from smpl_nerf_tpu.cli.inference import inference_gif
+        try:
+            inference_gif(log_dir, args, train_data, val_data)
+        except Exception as e:  # noqa: BLE001 — gif is best-effort
+            print("inference_gif failed:", e)
     return solver
 
 

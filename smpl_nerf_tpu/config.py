@@ -237,6 +237,16 @@ def config_parser() -> ConfigArgumentParser:
                         help="use the fused Pallas inverse-CDF sampler on TPU")
     parser.add_argument("--use_fused_mlp", type=int, default=0,
                         help="run RenderRayNet as one fused Pallas kernel (TPU)")
+    parser.add_argument("--scan_steps", type=int, default=0,
+                        help=">1: run this many train steps per dispatch via lax.scan "
+                             "(amortizes host->device dispatch latency)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of a few training steps here")
+    parser.add_argument("--multihost", type=int, default=0,
+                        help="call jax.distributed.initialize() (TPU pod slices)")
+    parser.add_argument("--render_gif", type=int, default=1,
+                        help="re-render train+val into <run>/walking.gif after training "
+                             "(reference inference_gif behaviour for append models)")
     parser.add_argument("--steps_per_epoch", type=int, default=0,
                         help="0 = full epoch (dataset_size/batchsize steps)")
     parser.add_argument("--seed", type=int, default=0)

@@ -89,6 +89,33 @@ def intersect_rays(origins: jnp.ndarray, dirs: jnp.ndarray,
     return RayHits(flat(t), flat(face_idx), flat(bary), flat(hit))
 
 
+def dependent_pixels(origins: jnp.ndarray, dirs: jnp.ndarray,
+                     canonical_vertices: jnp.ndarray, goal_vertices: jnp.ndarray,
+                     faces: jnp.ndarray, camera_transform: jnp.ndarray,
+                     h: int, w: int, focal: float):
+    """For each ray: the pixel its canonical-mesh hit maps to under the goal pose.
+
+    Working version of the reference's get_dependent_rays_indices
+    (utils.py:312-378, which projected canonical hits through the goal mesh
+    with cv2.projectPoints — dead code there because of undefined locals).
+    Returns (pixel_xy [R, 2] int32, hit [R] bool); pixels are (-1, -1) where
+    the ray misses the canonical mesh or leaves the frame.
+    """
+    hits = intersect_rays(origins, dirs, canonical_vertices, faces,
+                          chunk_size=min(1024, origins.shape[0]))
+    goal_pts = barycentric_transfer(hits, faces, goal_vertices)   # [R, 3]
+    cam = jnp.asarray(camera_transform, jnp.float32)
+    R_m, t = cam[:3, :3], cam[:3, 3]
+    vc = (goal_pts - t) @ R_m                                     # world->camera
+    x = -vc[:, 0] / vc[:, 2] * focal + w * 0.5
+    y = vc[:, 1] / vc[:, 2] * focal + h * 0.5
+    px = jnp.stack([jnp.round(x), jnp.round(y)], -1).astype(jnp.int32)
+    in_frame = ((px[:, 0] >= 0) & (px[:, 0] < w) & (px[:, 1] >= 0) & (px[:, 1] < h)
+                & hits.hit)
+    px = jnp.where(in_frame[:, None], px, -1)
+    return px, in_frame
+
+
 def barycentric_transfer(hits: RayHits, faces: jnp.ndarray,
                          target_vertices: jnp.ndarray) -> jnp.ndarray:
     """Map hit points onto another mesh with the same topology.

