@@ -47,6 +47,22 @@ def get_rays_batch(h: int, w: int, focal: float, camera_transforms) -> Tuple[jnp
     return rays_translation, rays_direction
 
 
+def get_rays_batch_np(h: int, w: int, focal: float, camera_transforms) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy get_rays_batch for host-side dataset loading.
+
+    Same math as get_rays_batch but with no device involvement — dataset
+    construction must not depend on (or contend for) the accelerator.
+    """
+    camera_transforms = np.asarray(camera_transforms, np.float32)
+    i, j = np.meshgrid(np.arange(w, dtype=np.float32),
+                       np.arange(h, dtype=np.float32), indexing="xy")
+    dirs = np.stack([(i - w * 0.5) / focal, -(j - h * 0.5) / focal, -np.ones_like(i)], -1)
+    rays_direction = np.einsum("hwc,nrc->nhwr", dirs, camera_transforms[:, :3, :3])
+    rays_translation = np.broadcast_to(camera_transforms[:, None, None, :3, -1],
+                                       rays_direction.shape)
+    return rays_translation.copy(), rays_direction
+
+
 def focal_from_fov(w: int, camera_angle_x: float) -> float:
     """focal = 0.5*w / tan(0.5*fov_x) — the transforms.json camera contract."""
     return 0.5 * w / float(np.tan(0.5 * camera_angle_x))

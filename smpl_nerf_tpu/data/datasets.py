@@ -111,9 +111,9 @@ def _rays_for_images(transforms, directory: str, sorted_names=None):
     n, h, w = images.shape[:3]
     focal = rays_mod.focal_from_fov(w, camera_angle_x)
     cams = np.stack([np.array(tmap[name], np.float32) for name in names])
-    origins, dirs = rays_mod.get_rays_batch(h, w, focal, cams)
-    origins = np.asarray(origins).reshape(n, -1, 3)
-    dirs = np.asarray(dirs).reshape(n, -1, 3)
+    origins, dirs = rays_mod.get_rays_batch_np(h, w, focal, cams)
+    origins = origins.reshape(n, -1, 3)
+    dirs = dirs.reshape(n, -1, 3)
     rgb = images.reshape(n, -1, 3)
     idx = np.repeat(np.arange(n, dtype=np.int32), h * w)
     return (origins.reshape(-1, 3), dirs.reshape(-1, 3), rgb.reshape(-1, 3),
@@ -154,9 +154,9 @@ def _load_original_nerf(directory: str) -> RayData:
     n, h, w = images.shape[:3]
     focal = rays_mod.focal_from_fov(w, transforms["camera_angle_x"])
     cams = np.stack([np.array(f["transform_matrix"], np.float32) for f in frames])
-    origins, dirs = rays_mod.get_rays_batch(h, w, focal, cams)
+    origins, dirs = rays_mod.get_rays_batch_np(h, w, focal, cams)
     idx = np.repeat(np.arange(n, dtype=np.int32), h * w)
-    return RayData(np.asarray(origins).reshape(-1, 3), np.asarray(dirs).reshape(-1, 3),
+    return RayData(origins.reshape(-1, 3), dirs.reshape(-1, 3),
                    images.reshape(-1, 3), idx, h, w, focal, n, cams)
 
 
@@ -254,9 +254,9 @@ def rays_from_cameras(camera_transforms: np.ndarray, h: int, w: int,
     """
     focal = rays_mod.focal_from_fov(w, camera_angle_x)
     cams = np.asarray(camera_transforms, np.float32)
-    origins, dirs = rays_mod.get_rays_batch(h, w, focal, cams)
+    origins, dirs = rays_mod.get_rays_batch_np(h, w, focal, cams)
     n = cams.shape[0]
     idx = np.repeat(np.arange(n, dtype=np.int32), h * w)
     rgb = np.zeros((n * h * w, 3), np.float32)
-    return RayData(np.asarray(origins).reshape(-1, 3), np.asarray(dirs).reshape(-1, 3),
+    return RayData(origins.reshape(-1, 3), dirs.reshape(-1, 3),
                    rgb, idx, h, w, focal, n, cams)

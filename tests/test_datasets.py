@@ -1,0 +1,103 @@
+"""Dataset-layer tests: AMASS sequences, Blender schema, rays-from-cameras,
+batch array contracts, config round trip for the generator."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from smpl_nerf_tpu import config as config_mod
+from smpl_nerf_tpu.core import cameras
+from smpl_nerf_tpu.data import datasets, generate
+
+
+def test_load_pose_sequence_amass_schema(tmp_path):
+    """AMASS npz: poses [n, 156]; dims 3:66 -> body pose [:, :63]."""
+    n = 20
+    poses = np.random.RandomState(0).randn(n, 156).astype(np.float32)
+    path = tmp_path / "seq.npz"
+    np.savez(path, poses=poses)
+    body, orients = generate.load_pose_sequence(str(path), start=2, end=14, skip=3)
+    assert body.shape == (4, 1, 69)
+    assert orients.shape == (4, 1, 3)
+    np.testing.assert_allclose(body[0, 0, :63], poses[2, 3:66], atol=0)
+    np.testing.assert_allclose(body[0, 0, 63:], 0.0)
+    np.testing.assert_allclose(orients[0, 0], poses[2, 0:3], atol=0)
+
+
+def test_original_nerf_blender_schema(tmp_path):
+    """Blender-NeRF transforms.json with frames list loads correctly."""
+    import cv2
+    d = tmp_path / "train"
+    os.makedirs(d)
+    h = w = 8
+    cams = [cameras.get_sphere_pose(p, t, 3.0) for p, t in [(0, 0), (10, 20)]]
+    frames = []
+    for i, cam in enumerate(cams):
+        name = f"r_{i}.png"
+        cv2.imwrite(str(d / name), np.full((h, w, 3), 128, np.uint8))
+        frames.append({"file_path": f"./train/r_{i}", "transform_matrix": cam.tolist()})
+    with open(d / "transforms.json", "w") as fh:
+        json.dump({"camera_angle_x": 0.7, "frames": frames}, fh)
+    data = datasets.load_dataset(str(d), "original_nerf")
+    assert data.num_images == 2 and data.num_rays == 2 * h * w
+    np.testing.assert_allclose(data.rgb, 128 / 255.0, atol=1e-3)
+    # origins of first image's rays == first camera position
+    np.testing.assert_allclose(data.origins[0], np.asarray(cams[0][:3, 3]), atol=1e-5)
+
+
+def test_rays_from_cameras(tmp_path):
+    cams = np.stack([cameras.get_sphere_pose(0, 0, 2.4),
+                     cameras.get_sphere_pose(5, 5, 2.4)])
+    data = datasets.rays_from_cameras(cams, 4, 4, np.pi / 3)
+    assert data.num_rays == 32
+    assert data.rgb.shape == (32, 3)
+    np.testing.assert_allclose(data.origins[:16],
+                               np.broadcast_to(cams[0][:3, 3], (16, 3)), atol=1e-5)
+
+
+def test_dataset_generator_config_roundtrip(tmp_path):
+    parser = config_mod.dataset_config_parser()
+    args = parser.parse_args([f"--save_dir={tmp_path}", "--dataset_type=nerf",
+                              "--resolution=8", "--camera_path=circle",
+                              "--number_steps=4"])
+    train_idx, val_idx = generate.create_dataset(args, parser)
+    cfg_path = tmp_path / "create_dataset_config.txt"
+    assert cfg_path.exists()
+    text = cfg_path.read_text()
+    assert "train_index" in text and "resolution = 8" in text
+    # the recorded split indices parse back
+    args2 = parser.parse_args([f"--config_unused={cfg_path}"]) if False else None
+    import re
+    m = re.search(r"train_index = \[(.*)\]", text)
+    assert [int(v) for v in m.group(1).split(",")] == [int(i) for i in train_idx]
+
+
+def test_multi_human_pose_combinatorics(tmp_path):
+    """multi_human_pose=1: dataset size = cameras x poses (create_dataset.py:193-197)."""
+    parser = config_mod.dataset_config_parser()
+    args = parser.parse_args([f"--save_dir={tmp_path}", "--dataset_type=smpl_nerf",
+                              "--resolution=8", "--camera_path=circle",
+                              "--number_steps=3", "--human_number_steps=2",
+                              "--multi_human_pose=1", "--train_val_ratio=0.5"])
+    generate.create_dataset(args, parser)
+    with open(tmp_path / "train" / "transforms.json") as fh:
+        meta = json.load(fh)
+    n_train = len(meta["image_transform_map"])
+    with open(tmp_path / "val" / "transforms.json") as fh:
+        n_val = len(json.load(fh)["image_transform_map"])
+    assert n_train + n_val == 6  # 3 cameras x 2 poses
+
+
+def test_smpl_estimator_dataset_images(tmp_path):
+    parser = config_mod.dataset_config_parser()
+    args = parser.parse_args([f"--save_dir={tmp_path}", "--dataset_type=smpl_nerf",
+                              "--resolution=8", "--camera_path=circle",
+                              "--number_steps=4"])
+    generate.create_dataset(args, parser)
+    tparser = config_mod.config_parser()
+    targs = tparser.parse_args(["--config=/dev/null"])
+    data = datasets.load_dataset(str(tmp_path / "train"), "smpl_estimator", targs)
+    assert data.images is not None
+    assert data.images.shape[0] == data.num_images
+    assert data.human_poses.shape == (data.num_images, 69)
