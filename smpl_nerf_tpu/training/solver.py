@@ -293,6 +293,11 @@ class Solver:
             return
         hw = val_data.h * val_data.w
         bs = mesh_mod.pad_to_multiple(min(hw, 4096), self.n_data)
+        # warp point clouds at the mesh_epochs fractions (reference
+        # warp_solver.py:117-122 logs meshes at fractional-epoch milestones)
+        mesh_epochs = {int(float(f) * int(self.args.num_epochs))
+                       for f in getattr(self.args, "mesh_epochs", []) or []}
+        warp_cloud = epoch in mesh_epochs
         renders, gts, warps, densities, samples = [], [], None, [], []
         for i in range(n_img):
             rgb_img, warp_img = [], []
@@ -311,6 +316,11 @@ class Solver:
                 if lo == i * hw and "densities" in out and "ray_samples" in out:
                     densities.append(np.asarray(out["densities"])[:take])
                     samples.append(np.asarray(out["ray_samples"])[:take])
+                    if warp_cloud and "warp" in out and i == 0:
+                        log_mod.tensorboard_warps(
+                            self.writer, self.global_step,
+                            np.asarray(out["ray_samples"])[:take],
+                            np.asarray(out["warp"])[:take])
             renders.append(np.concatenate(rgb_img).reshape(val_data.h, val_data.w, 3))
             gts.append(val_data.rgb[i * hw:(i + 1) * hw].reshape(val_data.h, val_data.w, 3))
             if warp_img:

@@ -67,7 +67,6 @@ def test_dataset_generator_config_roundtrip(tmp_path):
     text = cfg_path.read_text()
     assert "train_index" in text and "resolution = 8" in text
     # the recorded split indices parse back
-    args2 = parser.parse_args([f"--config_unused={cfg_path}"]) if False else None
     import re
     m = re.search(r"train_index = \[(.*)\]", text)
     assert [int(v) for v in m.group(1).split(",")] == [int(i) for i in train_idx]
