@@ -237,6 +237,12 @@ def config_parser() -> ConfigArgumentParser:
                         help="use the fused Pallas inverse-CDF sampler on TPU")
     parser.add_argument("--use_fused_mlp", type=int, default=0,
                         help="run RenderRayNet as one fused Pallas kernel (TPU)")
+    parser.add_argument("--foreground_sample_ratio", type=float, default=0.0,
+                        help=">0: fraction of each ray batch drawn from foreground "
+                             "(non-background) pixels. Synthetic human scenes are "
+                             "~95%% background; uniform sampling with "
+                             "white_background=1 collapses into the transparent-scene "
+                             "dead-relu fixed point. 0 = reference behaviour.")
     parser.add_argument("--scan_steps", type=int, default=0,
                         help=">1: run this many train steps per dispatch via lax.scan "
                              "(amortizes host->device dispatch latency)")

@@ -221,6 +221,32 @@ class Solver:
         scan_steps = int(getattr(args, "scan_steps", 0) or 0)
         early_val = bool(int(getattr(args, "early_validation", 0)))
         np_rng = np.random.RandomState(int(getattr(args, "seed", 0)))
+
+        # foreground-weighted ray sampling: synthetic human scenes are ~95%
+        # background; with white-background compositing, uniform sampling lets
+        # epoch 0 push sigma so negative everywhere that relu gradients die
+        # (the transparent-scene fixed point). Oversampling foreground rays
+        # keeps the object gradient alive. 0 = reference-uniform behaviour.
+        fg_ratio = float(getattr(args, "foreground_sample_ratio", 0.0) or 0.0)
+        fg_idx = bg_idx = None
+        if fg_ratio > 0.0:
+            rgb_np = np.asarray(train_data.rgb)
+            corner = rgb_np[0]  # first ray = top-left pixel of image 0 ~ background
+            is_fg = np.any(np.abs(rgb_np - corner[None]) > 0.02, axis=-1)
+            fg_idx = np.where(is_fg)[0]
+            bg_idx = np.where(~is_fg)[0]
+            if len(fg_idx) == 0 or len(bg_idx) == 0:
+                fg_ratio, fg_idx, bg_idx = 0.0, None, None
+            else:
+                print(f"foreground sampling: {len(fg_idx)}/{n} fg rays, "
+                      f"ratio {fg_ratio}")
+
+        def draw_batch_indices():
+            n_fg = int(bs * fg_ratio)
+            fg = fg_idx[np_rng.randint(0, len(fg_idx), n_fg)]
+            bg = bg_idx[np_rng.randint(0, len(bg_idx), bs - n_fg)]
+            return np.concatenate([fg, bg])
+
         for epoch in range(int(args.num_epochs)):
             perm = np_rng.permutation(n)
             epoch_losses = []
@@ -232,6 +258,9 @@ class Solver:
                     k = min(scan_steps, steps_per_epoch - step)
                     idx_block = np.empty((k, bs), np.int32)
                     for j in range(k):
+                        if fg_ratio > 0.0:
+                            idx_block[j] = draw_batch_indices()
+                            continue
                         lo = ((step + j) * bs) % max(1, n - bs + 1) if n >= bs else 0
                         idx = perm[lo:lo + bs]
                         if len(idx) < bs:
@@ -246,10 +275,13 @@ class Solver:
                     self.global_step += k
             else:
                 for step in range(steps_per_epoch):
-                    lo = (step * bs) % max(1, n - bs + 1) if n >= bs else 0
-                    idx = perm[lo:lo + bs]
-                    if len(idx) < bs:  # wrap around for tiny datasets
-                        idx = np.concatenate([idx, perm[:bs - len(idx)]])
+                    if fg_ratio > 0.0:
+                        idx = draw_batch_indices()
+                    else:
+                        lo = (step * bs) % max(1, n - bs + 1) if n >= bs else 0
+                        idx = perm[lo:lo + bs]
+                        if len(idx) < bs:  # wrap around for tiny datasets
+                            idx = np.concatenate([idx, perm[:bs - len(idx)]])
                     batch = self._gather_batch(arrays, idx)
                     rng, step_rng = jax.random.split(rng)
                     self.params, self.opt_state, aux = self._train_step(
