@@ -129,7 +129,8 @@ def train_image_wise(args, parser, train_data, val_data, extras,
             warp = relu_attention_warp(samples, goal, warp_vec, cfg.warp_radius)
             warped = samples + warp
             sample_dirs = warped - origins[:, None, :]
-            dirs_norm = sample_dirs / jnp.linalg.norm(sample_dirs, -1, keepdims=True)
+            dirs_norm = sample_dirs / jnp.linalg.norm(sample_dirs, axis=-1,
+                                                      keepdims=True)
             R, S = samples.shape[:2]
             inputs = jnp.concatenate([pos_enc.encode(warped).reshape(R * S, -1),
                                       dir_enc.encode(dirs_norm).reshape(R * S, -1)], -1)
