@@ -1,0 +1,72 @@
+"""Foreground-culled hierarchical rendering — fast novel-view synthesis.
+
+The fine pass (192 samples/ray through the fine MLP) is ~75% of render cost,
+but on synthetic human scenes ~95% of rays never hit the subject: their coarse
+opacity is ~0 and the fine pass cannot change their color. This renderer runs
+the coarse pass on every ray, selects the top-K rays by accumulated opacity
+(K static -> shapes stay jit-friendly), runs hierarchical fine sampling + the
+fine MLP ONLY on those, and scatters the results back; culled rays keep their
+coarse color. Exact for rays with zero coarse weight; the cap is a knob
+(default 1/4 of rays, well above typical subject coverage).
+
+Training always uses the full pipeline; this is a render-path optimization the
+reference has no analog of (its inference renders every ray through both MLPs,
+inference.py:247-254).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from smpl_nerf_tpu.core.integrate import raw2outputs
+from smpl_nerf_tpu.core.sampling import coarse_sampling, fine_sampling
+from smpl_nerf_tpu.pipelines import Pipeline, _make_net_runner, _normalize
+
+
+def make_fast_renderer(pipeline: Pipeline, cap_fraction: float = 0.25):
+    """Returns render(params, batch) -> rgb [R, 3] with foreground culling.
+
+    Supports the nerf family (unconditioned); conditioned variants fall back
+    to the full pipeline (their warp fields can move any sample, so opacity
+    culling from the coarse pass stays valid only when conditioning reuses the
+    same rays — still true, but kept simple for now).
+    """
+    cfg = pipeline.cfg
+    if cfg.model_type not in ("nerf", "original_nerf") or not cfg.run_fine:
+        def render_fallback(params, batch):
+            return pipeline(params, batch, None, False)["rgb_fine"]
+        return render_fallback
+
+    run = _make_net_runner(cfg, pipeline.models)
+    pos_enc = pipeline.encoders["position"]
+    dir_enc = pipeline.encoders["direction"]
+
+    def render(params, batch):
+        origins = batch["ray_translation"]
+        dirs = batch["ray_direction"]
+        R = origins.shape[0]
+        K = max(1, int(R * cap_fraction))
+
+        samples, z_vals = coarse_sampling(origins, dirs, cfg.near, cfg.far,
+                                          cfg.number_coarse_samples, None)
+        dirs_exp = jnp.broadcast_to(dirs[:, None, :], samples.shape)
+        dirs_enc = dir_enc.encode(_normalize(dirs_exp))
+        raw = run("model_coarse", params, pos_enc.encode(samples), dirs_enc)
+        out = raw2outputs(raw, z_vals, dirs_exp, 0.0, cfg.white_background)
+
+        # top-K foreground rays by accumulated opacity
+        _, fg = jax.lax.top_k(out.acc, K)
+        take = lambda a: jnp.take(a, fg, axis=0)
+        z_fine, samples_fine = fine_sampling(take(origins), take(dirs),
+                                             take(z_vals), take(out.weights),
+                                             cfg.number_fine_samples, cfg.use_pallas)
+        Sf = samples_fine.shape[1]
+        dirs_f = jnp.broadcast_to(take(dirs)[:, None, :], (K, Sf, 3))
+        de_f = jnp.broadcast_to(take(dirs_enc)[:, :1, :], (K, Sf, dirs_enc.shape[-1]))
+        raw_f = run("model_fine", params, pos_enc.encode(samples_fine), de_f)
+        out_f = raw2outputs(raw_f, z_fine, dirs_f, 0.0, cfg.white_background)
+        return out.rgb.at[fg].set(out_f.rgb)
+
+    return render
