@@ -15,8 +15,6 @@ inference.py:247-254).
 """
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 

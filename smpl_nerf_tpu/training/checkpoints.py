@@ -14,7 +14,6 @@ import shutil
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 from flax import serialization
 
 

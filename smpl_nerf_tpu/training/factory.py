@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from smpl_nerf_tpu.models import (AppendVerticesNet, DummyImageWiseEstimator,
+from smpl_nerf_tpu.models import (DummyImageWiseEstimator,
                                   DummySmplEstimatorModel, RenderRayNet,
                                   SirenRenderRayNet, SmplEstimator, WarpFieldNet)
 from smpl_nerf_tpu.pipelines import build_encoders

@@ -23,7 +23,6 @@ the (cheap) LBS graph functionally.
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Optional
 
 import jax
@@ -36,7 +35,7 @@ from smpl_nerf_tpu.core.sampling import coarse_bins
 from smpl_nerf_tpu.models import smpl as smpl_mod
 from smpl_nerf_tpu.ops import raymesh
 from smpl_nerf_tpu.ops.vertex_attention import relu_attention_warp
-from smpl_nerf_tpu.pipelines import RenderConfig, build_encoders
+from smpl_nerf_tpu.pipelines import RenderConfig
 from smpl_nerf_tpu.training import checkpoints
 from smpl_nerf_tpu.training.factory import build_models_and_params
 
