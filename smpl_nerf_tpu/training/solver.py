@@ -59,12 +59,12 @@ def make_loss_fn(pipeline: Pipeline, canonical_vertices: Optional[np.ndarray] = 
         loss_f = jnp.mean((out["rgb_fine"] - rgb_truth) ** 2)
         loss = loss_c + loss_f
         aux = {"loss_coarse": loss_c, "loss_fine": loss_f}
-        if gmm is not None and "warped_samples" in out:
-            # density prior: density should match the canonical-body GMM
-            # (reference smpl_nerf_solver.py:35-43)
-            probs = gmm.pdf(out["warped_samples"])
-            densities = out["densities"]
-            gmm_loss = jnp.mean((densities - probs / jnp.maximum(jnp.max(probs), 1e-8)) ** 2)
+        if gmm is not None and "ray_samples" in out:
+            # density prior: MSE(gmm.pdf(ray_samples), densities) — reference
+            # smpl_nerf_solver.py:39-41 (its undefined restrict_gmm_loss flag
+            # is treated as always-false, i.e. the loss applies when enabled)
+            probs = gmm.pdf(out["ray_samples"])
+            gmm_loss = jnp.mean((probs - out["densities"]) ** 2)
             loss = loss + gmm_loss
             aux["loss_gmm"] = gmm_loss
         aux["loss"] = loss

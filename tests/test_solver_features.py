@@ -1,0 +1,94 @@
+"""Solver feature tests: GMM prior loss, load_run resume, optimizer groups."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from smpl_nerf_tpu import config as config_mod
+from smpl_nerf_tpu.data import datasets, generate
+from smpl_nerf_tpu.models import smpl as smpl_mod
+from smpl_nerf_tpu.pipelines import RenderConfig, build_pipeline
+from smpl_nerf_tpu.training import checkpoints
+from smpl_nerf_tpu.training.factory import build_models_and_params
+from smpl_nerf_tpu.training.solver import Solver, make_loss_fn, make_optimizer
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds_solver")
+    parser = config_mod.dataset_config_parser()
+    args = parser.parse_args([f"--save_dir={d}", "--dataset_type=smpl_nerf",
+                              "--resolution=12", "--camera_path=circle",
+                              "--number_steps=4", "--train_val_ratio=0.75"])
+    generate.create_dataset(args, parser)
+    return str(d)
+
+
+def _args(ds_dir, **overrides):
+    parser = config_mod.config_parser()
+    argv = ["--config=/dev/null", "--model_type=smpl_nerf", f"--dataset_dir={ds_dir}",
+            "--num_epochs=1", "--batchsize=64", "--batchsize_val=64",
+            "--number_coarse_samples=4", "--run_fine=0", "--sigma_noise_std=0",
+            "--netdepth=2", "--netwidth=16", "--netwidth_warp=8",
+            "--number_frequencies_postitional=2", "--number_frequencies_directional=1",
+            "--number_frequencies_pose=2", "--human_pose_encoding=1", "--use_pallas=0"]
+    for k, v in overrides.items():
+        argv.append(f"--{k}={v}")
+    return parser.parse_args(argv), parser
+
+
+def test_gmm_prior_loss_activates(ds, rng):
+    args, _ = _args(ds, use_gmm_loss=1, gmm_std=0.07)
+    train_data = datasets.load_dataset(os.path.join(ds, "train"), "smpl_nerf", args)
+    models, params, encoders = build_models_and_params(args, jax.random.PRNGKey(0), {})
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+    human = smpl_mod.procedural_human(rings=3, segments=6)
+    canonical = np.asarray(smpl_mod.smpl_forward(human, jnp.zeros(10), jnp.zeros(69)))
+    loss_fn = make_loss_fn(pipeline, canonical)
+    arrays = {k: jnp.asarray(v) for k, v in train_data.batch_arrays("smpl_nerf").items()}
+    batch = {k: v[:32] for k, v in arrays.items()}
+    loss, aux = loss_fn(params, batch, jax.random.PRNGKey(1), True)
+    assert "loss_gmm" in aux
+    assert float(aux["loss_gmm"]) >= 0
+    assert np.isfinite(float(loss))
+    # the total includes the gmm term
+    np.testing.assert_allclose(float(loss),
+                               float(aux["loss_coarse"] + aux["loss_fine"]
+                                     + aux["loss_gmm"]), rtol=1e-6)
+
+
+def test_load_run_resume(ds, tmp_path):
+    args, parser = _args(ds)
+    train_data = datasets.load_dataset(os.path.join(ds, "train"), "smpl_nerf", args)
+    models, params, encoders = build_models_and_params(args, jax.random.PRNGKey(0), {})
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+    solver = Solver(pipeline, params, args)
+    solver.train(train_data, train_data)
+    run_dir = str(tmp_path / "run")
+    checkpoints.save_run(run_dir, solver.params, args, parser)
+
+    _, params2, _ = build_models_and_params(args, jax.random.PRNGKey(1), {})
+    restored = checkpoints.load_run(run_dir, params2)
+    for a, b in zip(jax.tree_util.tree_leaves(solver.params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_optimizer_labels_frozen_nerf():
+    import optax
+    params = {"model_coarse": {"w": jnp.ones(3)}, "model_fine": {"w": jnp.ones(3)},
+              "smpl_estimator": {"params": {"a": jnp.ones(1)}}}
+
+    class A:
+        lrate, lrate_pose, weight_decay = 1e-3, 0.1, 0
+
+    tx = make_optimizer(params, A, "image_wise_dynamic", frozen_nerf=True)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # frozen nerf params get zero updates; estimator params move
+    np.testing.assert_allclose(np.asarray(updates["model_coarse"]["w"]), 0.0)
+    assert np.abs(np.asarray(updates["smpl_estimator"]["params"]["a"])).max() > 0
