@@ -24,6 +24,27 @@ def test_nearest_neighbor_uses_pose_distance():
     np.testing.assert_array_equal(idx, [1])
 
 
+def test_max_mixture_prior_from_synthetic_gmm(tmp_path):
+    import pickle
+    import jax.numpy as jnp
+    from smpl_nerf_tpu.baselines.pose_priors import MaxMixturePrior
+
+    rng = np.random.RandomState(0)
+    K = 3
+    means = rng.randn(K, 69).astype(np.float64)
+    covars = np.stack([np.eye(69) * (0.5 + 0.1 * k) for k in range(K)])
+    weights = np.array([0.5, 0.3, 0.2])
+    path = tmp_path / "gmm.pkl"
+    with open(path, "wb") as fh:
+        pickle.dump({"means": means, "covars": covars, "weights": weights}, fh)
+    prior = MaxMixturePrior.load(str(path))
+    # nll at a component mean is lower than far away
+    at_mean = float(prior(jnp.asarray(means[0], jnp.float32)))
+    far = float(prior(jnp.asarray(means[0] + 5.0, jnp.float32)))
+    assert at_mean < far
+    assert MaxMixturePrior.load(str(tmp_path / "missing.pkl")) is None
+
+
 @pytest.mark.slow
 def test_silhouette_pose_fit_recovers_arm_angle():
     """Analysis-by-synthesis sanity: recover a single arm angle from a mask."""
