@@ -310,6 +310,12 @@ class Solver:
             if self.log_dir:
                 from smpl_nerf_tpu.training import checkpoints
                 checkpoints.save_run(self.log_dir, self.params, args)
+                # keep the best-validation snapshot separately (the reference
+                # only keeps the last epoch; validation is noisy under sigma
+                # noise so the final epoch can regress)
+                if val_loss <= min(self.history["val_loss"]):
+                    checkpoints.save_run(os.path.join(self.log_dir, "best"),
+                                         self.params, args)
         return self.params
 
     def _log_rerenders(self, val_arrays, val_data, epoch: int):
