@@ -218,7 +218,24 @@ def _attach_vertex_sphere(data: RayData, args):
                                                 jnp.asarray(pose)))
         o = data.origins[i * hw:(i + 1) * hw]
         d = data.directions[i * hw:(i + 1) * hw]
-        if int(getattr(args, "coarse_samples_from_intersect", 0)) or S == 1:
+        if int(getattr(args, "coarse_samples_from_prior", 0)) and S > 1:
+            # GMM over ALL body entry/exit intersections (reference
+            # vertex_sphere_dataset.py:108-115): sample a component uniformly
+            # per coarse sample, then a gaussian around that distance
+            t_multi, hit_multi = raymesh.intersect_rays_multi(
+                jnp.asarray(o), jnp.asarray(d), jnp.asarray(goal),
+                jnp.asarray(smpl_model.faces))
+            t_multi = np.asarray(t_multi)
+            hit_multi = np.asarray(hit_multi)
+            rng = np.random.RandomState(0)
+            std = float(args.std_dev_coarse_sample_prior)
+            n_hits = hit_multi.sum(-1)
+            any_hit = n_hits > 0
+            comp = rng.randint(0, np.maximum(n_hits, 1)[:, None], (hw, S))
+            means = np.take_along_axis(np.where(hit_multi, t_multi, 0.0), comp, -1)
+            z_prior = means + std * rng.randn(hw, S)
+            z = np.where(any_hit[:, None], z_prior, z_simple[None, :]).astype(np.float32)
+        elif int(getattr(args, "coarse_samples_from_intersect", 0)) or S == 1:
             hits = raymesh.intersect_rays(jnp.asarray(o), jnp.asarray(d),
                                           jnp.asarray(goal), jnp.asarray(smpl_model.faces))
             t_hit = np.asarray(hits.t)

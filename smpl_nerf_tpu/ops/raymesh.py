@@ -89,6 +89,36 @@ def intersect_rays(origins: jnp.ndarray, dirs: jnp.ndarray,
     return RayHits(flat(t), flat(face_idx), flat(bary), flat(hit))
 
 
+def intersect_rays_multi(origins: jnp.ndarray, dirs: jnp.ndarray,
+                         vertices: jnp.ndarray, faces: jnp.ndarray,
+                         max_hits: int = 4, chunk_size: int = 1024):
+    """Up to `max_hits` intersections per ray, nearest first.
+
+    Iterated closest-hit with the origin advanced past each hit (static
+    unroll, shapes fixed). Returns (t [R, max_hits] with inf padding,
+    hit [R, max_hits] bool). t values are distances along the ORIGINAL ray.
+    Used for the vertex-sphere GMM z-prior, which places gaussians at every
+    body entry/exit point (reference vertex_sphere_dataset.py:108-115).
+    """
+    R = origins.shape[0]
+    dirs_unit = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    ts = []
+    hit_flags = []
+    offset = jnp.zeros((R,), origins.dtype)
+    cur_origins = origins
+    for _ in range(max_hits):
+        hits = intersect_rays(cur_origins, dirs_unit, vertices, faces,
+                              chunk_size=min(chunk_size, R))
+        t_global = jnp.where(hits.hit, offset + hits.t, jnp.inf)
+        ts.append(t_global)
+        hit_flags.append(hits.hit)
+        # advance just past the hit for the next round
+        step = jnp.where(hits.hit, hits.t + 1e-4, 0.0)
+        cur_origins = cur_origins + dirs_unit * step[:, None]
+        offset = offset + step
+    return jnp.stack(ts, -1), jnp.stack(hit_flags, -1)
+
+
 def dependent_pixels(origins: jnp.ndarray, dirs: jnp.ndarray,
                      canonical_vertices: jnp.ndarray, goal_vertices: jnp.ndarray,
                      faces: jnp.ndarray, camera_transform: jnp.ndarray,

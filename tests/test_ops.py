@@ -95,6 +95,24 @@ def test_barycentric_transfer_to_shifted_mesh():
     np.testing.assert_allclose(np.asarray(pts)[0], [0.8, -0.05, 2.0], atol=1e-5)
 
 
+def test_intersect_rays_multi_two_planes():
+    """Two stacked squares: both hits found, nearest first, inf padding."""
+    v0, f0 = _tri_mesh()
+    v1 = v0 + np.array([0, 0, -1], np.float32)
+    vertices = np.concatenate([v0, v1])
+    faces = np.concatenate([f0, f0 + 4]).astype(np.int32)
+    origins = jnp.asarray([[0.5, 0.5, 1.0], [5.0, 5.0, 1.0]], jnp.float32)
+    dirs = jnp.asarray([[0, 0, -1.0]] * 2, jnp.float32)
+    t, hit = raymesh.intersect_rays_multi(origins, dirs, jnp.asarray(vertices),
+                                          jnp.asarray(faces), max_hits=3)
+    t, hit = np.asarray(t), np.asarray(hit)
+    assert hit[0, 0] and hit[0, 1] and not hit[0, 2]
+    np.testing.assert_allclose(t[0, 0], 1.0, atol=1e-3)
+    np.testing.assert_allclose(t[0, 1], 2.0, atol=1e-3)
+    assert not hit[1].any()
+    assert np.isinf(t[1]).all()
+
+
 def test_dependent_pixels_identity_pose():
     """Same mesh for canonical+goal: a centered camera ray maps near itself."""
     from smpl_nerf_tpu.core import cameras, rays as rays_mod
