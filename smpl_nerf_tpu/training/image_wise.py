@@ -106,13 +106,19 @@ def train_image_wise(args, parser, train_data, val_data, extras,
             z = jnp.broadcast_to(z_simple, (origins.shape[0], S))
         return jax.lax.stop_gradient(z)
 
+    # reference freezes the NeRF only when a pretrained one is loaded
+    # (train.py:253-259); otherwise ImageWiseSolver co-trains model_coarse at
+    # the base lrate alongside the pose params (image_wise_solver.py:32-36)
+    nerf_label = "frozen" if args.load_coarse_model else "net"
     tx = optax.multi_transform(
-        {"pose": optax.adam(float(args.lrate_pose)), "frozen": optax.set_to_zero()},
+        {"pose": optax.adam(float(args.lrate_pose)),
+         "net": optax.adam(float(args.lrate)),
+         "frozen": optax.set_to_zero()},
         jax.tree_util.tree_map_with_path(
             lambda path, _: "pose" if (path[0].key if hasattr(path[0], "key")
                                        else str(path[0])) == "smpl_estimator"
-            else "frozen", {"model_coarse": params["model_coarse"],
-                            "smpl_estimator": params["smpl_estimator"]}))
+            else nerf_label, {"model_coarse": params["model_coarse"],
+                              "smpl_estimator": params["smpl_estimator"]}))
     train_params = {"model_coarse": params["model_coarse"],
                     "smpl_estimator": params["smpl_estimator"]}
     opt_state = tx.init(train_params)
