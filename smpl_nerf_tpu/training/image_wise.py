@@ -65,11 +65,10 @@ def train_image_wise(args, parser, train_data, val_data, extras,
     models, params, encoders = build_models_and_params(args, rng, extras)
 
     if args.load_coarse_model:
-        loaded = checkpoints.load_run(os.path.dirname(args.load_coarse_model) or
-                                      args.load_coarse_model,
-                                      {"model_coarse": params["model_coarse"]}) \
-            if os.path.isdir(args.load_coarse_model) else None
-        if loaded is None:
+        if os.path.isdir(args.load_coarse_model):
+            loaded = checkpoints.load_run(
+                args.load_coarse_model, {"model_coarse": params["model_coarse"]})
+        else:
             from flax import serialization
             with open(args.load_coarse_model, "rb") as fh:
                 loaded = {"model_coarse": serialization.from_bytes(
