@@ -125,8 +125,9 @@ def build_models_and_params(args, rng: jax.Array, extras: Optional[Dict[str, Any
     if "smpl_estimator" in models:
         est = models["smpl_estimator"]
         if isinstance(est, SmplEstimator):
+            size = int(extras.get("image_size", 128))  # 5 maxpools -> min 32
             params["smpl_estimator"] = est.init(
-                next(key_iter), jnp.zeros((1, 128, 128, 3), jnp.float32))
+                next(key_iter), jnp.zeros((1, size, size, 3), jnp.float32))
         elif isinstance(est, DummySmplEstimatorModel):
             params["smpl_estimator"] = est.init(next(key_iter), jnp.asarray([0]))
         else:  # DummyImageWiseEstimator

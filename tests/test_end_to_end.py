@@ -187,6 +187,29 @@ def test_append_vertex_locations(smpl_nerf_dataset):
     assert np.isfinite(solver.history["train_loss"]).all()
 
 
+def test_smpl_estimator_training(tmp_path):
+    """Supervised CNN pose regression: runs and stays finite (32px minimum)."""
+    import jax
+    from smpl_nerf_tpu.data import generate
+    from smpl_nerf_tpu.training.estimator import train_estimator
+    from smpl_nerf_tpu.training.factory import build_models_and_params
+
+    d = str(tmp_path / "ds_est")
+    gargs, gparser = _gen_args(d, "smpl_nerf", resolution=32, steps=4)
+    generate.create_dataset(gargs, gparser)
+    args = _train_args(d, "smpl_estimator", num_epochs=3, batchsize=3, lrate="1e-3")
+    train_data = datasets.load_dataset(os.path.join(d, "train"),
+                                       "smpl_estimator", args)
+    val_data = datasets.load_dataset(os.path.join(d, "val"),
+                                     "smpl_estimator", args)
+    models, params, _ = build_models_and_params(args, jax.random.PRNGKey(0),
+                                                {"image_size": 32})
+    final = train_estimator(args, None, train_data, val_data, models, params)
+    assert "smpl_estimator" in final
+    leaves = jax.tree_util.tree_leaves(final["smpl_estimator"]["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
 def test_render_rays_batched_shape(nerf_dataset):
     solver = _run_solver(nerf_dataset, "nerf")
     val_data = datasets.load_dataset(os.path.join(nerf_dataset, "val"), "nerf",
