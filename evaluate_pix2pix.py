@@ -11,6 +11,10 @@ Usage:
 """
 from __future__ import annotations
 
+from smpl_nerf_tpu._platform import apply_platform_env
+
+apply_platform_env()
+
 import argparse
 import glob
 import os

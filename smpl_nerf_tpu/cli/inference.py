@@ -10,6 +10,10 @@ train_index/val_index recorded in create_dataset_config.txt
 """
 from __future__ import annotations
 
+from smpl_nerf_tpu._platform import apply_platform_env
+
+apply_platform_env()
+
 import os
 from typing import Optional
 

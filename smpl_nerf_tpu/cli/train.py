@@ -7,6 +7,10 @@ chain.
 """
 from __future__ import annotations
 
+from smpl_nerf_tpu._platform import apply_platform_env
+
+apply_platform_env()
+
 import os
 from typing import Optional
 
