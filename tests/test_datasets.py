@@ -88,6 +88,35 @@ def test_multi_human_pose_combinatorics(tmp_path):
     assert n_train + n_val == 6  # 3 cameras x 2 poses
 
 
+def test_create_dataset_from_amass_sequence(tmp_path):
+    """--smpl_sequence_file: poses come from the sequence, camera path repeats."""
+    n_frames = 12
+    poses = np.zeros((n_frames, 156), np.float32)
+    t = np.linspace(0, 2 * np.pi, n_frames)
+    poses[:, 3 + 36] = 0.4 * np.sin(t)   # swing a leg joint
+    poses[:, 3 + 50] = 0.3 * np.cos(t)
+    seq = tmp_path / "walk.npz"
+    np.savez(seq, poses=poses)
+
+    parser = config_mod.dataset_config_parser()
+    args = parser.parse_args([f"--save_dir={tmp_path}/ds", "--dataset_type=smpl_nerf",
+                              "--resolution=8", "--camera_path=circle",
+                              "--number_steps=4", f"--smpl_sequence_file={seq}",
+                              "--sequence_start=0", "--sequence_end=-1",
+                              "--sequence_skip=2", "--train_val_ratio=0.8"])
+    generate.create_dataset(args, parser)
+    with open(tmp_path / "ds" / "train" / "transforms.json") as fh:
+        meta = json.load(fh)
+    n_total = len(meta["image_transform_map"])
+    with open(tmp_path / "ds" / "val" / "transforms.json") as fh:
+        n_total += len(json.load(fh)["image_transform_map"])
+    # sequence [0:-1:2] keeps 6 frames (end=-1 drops the final frame)
+    assert n_total == 6
+    # poses in the json vary over frames
+    pose_vals = np.array(list(meta["image_pose_map"].values()))
+    assert np.std(pose_vals[:, 36]) > 0
+
+
 def test_smpl_estimator_dataset_images(tmp_path):
     parser = config_mod.dataset_config_parser()
     args = parser.parse_args([f"--save_dir={tmp_path}", "--dataset_type=smpl_nerf",
