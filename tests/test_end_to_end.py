@@ -131,6 +131,14 @@ def test_nerf_scan_steps_matches_loop(nerf_dataset):
     assert np.isfinite(s1.history["train_loss"]).all()
 
 
+def test_nerf_bfloat16_compute(nerf_dataset):
+    """The bf16 MXU path (production setting) trains: loss decreases, finite."""
+    solver = _run_solver(nerf_dataset, "nerf", {"compute_dtype": "bfloat16",
+                                                "num_epochs": 2})
+    h = solver.history["train_loss"]
+    assert np.isfinite(h).all() and h[-1] < h[0]
+
+
 def test_nerf_fine_runs(nerf_dataset):
     solver = _run_solver(nerf_dataset, "nerf", {"run_fine": 1})
     assert np.isfinite(solver.history["train_loss"]).all()
