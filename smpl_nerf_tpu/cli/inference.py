@@ -59,8 +59,13 @@ def setup_from_run_dir(run_dir: str, model_type: Optional[str] = None):
     return args, extras, parser
 
 
-def render_dataset(args, extras, run_dir: str, data) -> np.ndarray:
-    """Render every image of `data` through the run's weights -> [N, h, w, 3]."""
+def render_dataset(args, extras, run_dir: str, data, fast: bool = False,
+                   cap_fraction: float = 0.25) -> np.ndarray:
+    """Render every image of `data` through the run's weights -> [N, h, w, 3].
+
+    fast=True uses the foreground-culled hierarchical renderer (render/fast.py)
+    for the nerf / smpl_nerf / append families — the production novel-view path.
+    """
     extras = dict(extras)
     extras["num_images"] = data.num_images
     extras["betas"] = (data.betas if data.betas is not None
@@ -73,7 +78,11 @@ def render_dataset(args, extras, run_dir: str, data) -> np.ndarray:
     cfg = RenderConfig.from_args(args)
     pipeline = build_pipeline(cfg, models, encoders, extras)
     solver = Solver(pipeline, params, args)
-    rgb = solver.render_rays_batched(data)
+    render_fn = None
+    if fast:
+        from smpl_nerf_tpu.render.fast import make_fast_renderer
+        render_fn = jax.jit(make_fast_renderer(pipeline, cap_fraction))
+    rgb = solver.render_rays_batched(data, render_fn=render_fn)
     return rgb.reshape(data.num_images, data.h, data.w, 3)
 
 

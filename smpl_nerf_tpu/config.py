@@ -195,6 +195,10 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--batchsize", type=int, default=2048)
     parser.add_argument("--batchsize_val", type=int, default=512)
     parser.add_argument("--lrate", type=float, default=5e-4)
+    parser.add_argument("--lrate_decay", type=int, default=0,
+                        help=">0: exponential lr decay to 0.1x over this many "
+                             "thousand steps (original-NeRF schedule; the "
+                             "reference keeps lr constant — 0 reproduces that)")
     parser.add_argument("--lrate_pose", type=float, default=0.1)
     parser.add_argument("--weight_decay", type=float, default=0)
     parser.add_argument("--log_iterations", type=int, default=10)
@@ -254,6 +258,15 @@ def config_parser() -> ConfigArgumentParser:
                              "(reference inference_gif behaviour for append models)")
     parser.add_argument("--steps_per_epoch", type=int, default=0,
                         help="0 = full epoch (dataset_size/batchsize steps)")
+    parser.add_argument("--val_rays", type=int, default=0,
+                        help=">0: per-epoch validation uses this many rays (a "
+                             "deterministic stride over the val set) instead of all "
+                             "of them; final scores always use the full set")
+    parser.add_argument("--images_per_batch", type=int, default=0,
+                        help=">0 (dynamic/append_vertices families): draw each ray "
+                             "batch from this many images so in-step SMPL LBS runs "
+                             "on a fixed small pose set instead of every dataset "
+                             "image (keeps step cost flat in dataset size)")
     parser.add_argument("--seed", type=int, default=0)
     return parser
 

@@ -71,11 +71,18 @@ class RayData:
         return self.origins.shape[0]
 
     def batch_arrays(self, model_type: str) -> dict:
-        """The arrays a pipeline batch gathers from, keyed by batch-dict names."""
+        """The arrays a pipeline batch gathers from, keyed by batch-dict names.
+
+        Keys ending in '_table' are PER-IMAGE arrays: a batch gather maps them
+        through image_indices instead of the ray index (training.solver
+        gather_batch). Poses are stored once per image, not once per ray — at
+        the reference's experimental scale (225 images x 256x256) a per-ray
+        69-dim pose array would be ~4 GB of HBM for pure duplication.
+        """
         out = {"ray_translation": self.origins, "ray_direction": self.directions,
                "rgb": self.rgb, "image_indices": self.image_indices}
         if self.human_poses is not None:
-            out["human_pose"] = self.human_poses[self.image_indices]
+            out["human_pose_table"] = self.human_poses
         if model_type in ("smpl", "warp"):
             out.update(ray_samples=self.surface_samples, warp=self.warp,
                        z_vals=self.depth[:, None])

@@ -60,6 +60,7 @@ class RenderConfig:
     warp_temperature: float = 10000.0
     use_gmm_loss: bool = False
     gmm_std: float = 0.07
+    images_per_batch: int = 0
 
     @classmethod
     def from_args(cls, args) -> "RenderConfig":
@@ -79,6 +80,7 @@ class RenderConfig:
             warp_temperature=float(args.warp_temperature),
             use_gmm_loss=bool(int(args.use_gmm_loss)),
             gmm_std=float(args.gmm_std),
+            images_per_batch=int(getattr(args, "images_per_batch", 0) or 0),
         )
 
 
@@ -359,6 +361,34 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
                 "ray_samples": samples, "warped_samples": warped,
                 "densities": out.density}
 
+    # ---------------------------------------------- in-step SMPL LBS tables
+    def _goal_verts_table(params, image_indices):
+        """Estimator poses -> LBS vertices for the images the batch touches.
+
+        The reference evaluates the estimator + SMPL forward per RAY
+        (dynamic_pipeline.py:45-51). Round 1 hoisted that to once per dataset
+        IMAGE per step — fine at 40 images, O(N_img·V) at the reference's 225+.
+        With cfg.images_per_batch = K > 0 the solver draws each batch from at
+        most K images, so LBS runs on the batch's unique image set (static
+        size-K jnp.unique) and step cost is flat in dataset size.
+
+        Returns (verts_table [K|N_img, V, 3], ray_pos [R] row index per ray).
+        """
+        K = cfg.images_per_batch
+        n_img = extras["num_images"]
+        if K and K < n_img:
+            uniq = jnp.unique(image_indices, size=K, fill_value=-1)
+            img_ids = jnp.maximum(uniq, 0)
+            ray_pos = jnp.argmax(image_indices[:, None] == uniq[None, :], axis=1)
+        else:
+            img_ids = jnp.arange(n_img, dtype=jnp.int32)
+            ray_pos = image_indices
+        poses = models["smpl_estimator"].apply(params["smpl_estimator"], img_ids)
+        betas = jnp.asarray(extras["betas"], jnp.float32).reshape(-1)
+        verts_table = jax.vmap(
+            lambda p: smpl_mod.smpl_forward(extras["smpl_model"], betas, p))(poses)
+        return verts_table, ray_pos
+
     # -------------------------------------------------------------- dynamic
     def dynamic_fn(params, batch, rng, train):
         rng_j, rng_nc, _ = _split_rng(rng, 3)
@@ -369,20 +399,13 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         smpl_model = extras["smpl_model"]
         betas = jnp.asarray(extras["betas"], jnp.float32).reshape(-1)
 
-        # estimator -> per-image poses; vertices computed once PER IMAGE and
-        # gathered per ray (the reference recomputes LBS per ray,
-        # dynamic_pipeline.py:45-51 — same math, gather instead of recompute)
         image_indices = batch["image_indices"].astype(jnp.int32)
-        goal_pose_table = models["smpl_estimator"].apply(
-            params["smpl_estimator"],
-            jnp.arange(extras["num_images"], dtype=jnp.int32))  # [N_img, 69]
+        goal_verts_table, ray_pos = _goal_verts_table(params, image_indices)
         canonical_verts = smpl_mod.smpl_forward(smpl_model, betas, jnp.zeros(69))
-        goal_verts_table = jax.vmap(
-            lambda p: smpl_mod.smpl_forward(smpl_model, betas, p))(goal_pose_table)
-        warp_table = canonical_verts[None] - goal_verts_table  # [N_img, V, 3]
+        warp_table = canonical_verts[None] - goal_verts_table  # [K, V, 3]
 
-        goal_verts = jnp.take(goal_verts_table, image_indices, axis=0)
-        warp_vecs = jnp.take(warp_table, image_indices, axis=0)
+        goal_verts = jnp.take(goal_verts_table, ray_pos, axis=0)
+        warp_vecs = jnp.take(warp_table, ray_pos, axis=0)
         warp = vertex_attention_warp(samples, goal_verts, warp_vecs,
                                      cfg.warp_radius, cfg.warp_temperature)
         warped = samples + warp
@@ -403,16 +426,10 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         origins = batch["ray_translation"]
         dirs = batch["ray_direction"]
         R, S = samples.shape[:2]
-        smpl_model = extras["smpl_model"]
-        betas = jnp.asarray(extras["betas"], jnp.float32).reshape(-1)
         image_indices = batch["image_indices"].astype(jnp.int32)
-        goal_pose_table = models["smpl_estimator"].apply(
-            params["smpl_estimator"],
-            jnp.arange(extras["num_images"], dtype=jnp.int32))
-        goal_verts_table = jax.vmap(
-            lambda p: smpl_mod.smpl_forward(smpl_model, betas, p))(goal_pose_table)
+        goal_verts_table, ray_pos = _goal_verts_table(params, image_indices)
         verts_flat = jnp.take(goal_verts_table.reshape(goal_verts_table.shape[0], -1),
-                              image_indices, axis=0)  # [R, V*3]
+                              ray_pos, axis=0)  # [R, V*3]
         # embed the vertex cloud ONCE PER RAY (it is constant across samples);
         # the reference re-fed the raw 6890*3 block per sample
         emb = models["vertex_embedder"].apply(params["vertex_embedder"], verts_flat)

@@ -9,6 +9,11 @@ fine MLP ONLY on those, and scatters the results back; culled rays keep their
 coarse color. Exact for rays with zero coarse weight; the cap is a knob
 (default 1/4 of rays, well above typical subject coverage).
 
+Covers the conditioned families too (smpl_nerf warp field, append_to_nerf /
+append_smpl_params pose conditioning): conditioning consumes the same rays, so
+coarse-opacity culling stays valid — per-ray pose features are gathered along
+with the ray. Other families fall back to the full pipeline.
+
 Training always uses the full pipeline; this is a render-path optimization the
 reference has no analog of (its inference renders every ray through both MLPs,
 inference.py:247-254).
@@ -22,17 +27,14 @@ from smpl_nerf_tpu.core.integrate import raw2outputs
 from smpl_nerf_tpu.core.sampling import coarse_sampling, fine_sampling
 from smpl_nerf_tpu.pipelines import Pipeline, _make_net_runner, _normalize
 
+_FAMILIES = ("nerf", "original_nerf", "smpl_nerf", "append_to_nerf",
+             "append_smpl_params")
+
 
 def make_fast_renderer(pipeline: Pipeline, cap_fraction: float = 0.25):
-    """Returns render(params, batch) -> rgb [R, 3] with foreground culling.
-
-    Supports the nerf family (unconditioned); conditioned variants fall back
-    to the full pipeline (their warp fields can move any sample, so opacity
-    culling from the coarse pass stays valid only when conditioning reuses the
-    same rays — still true, but kept simple for now).
-    """
+    """Returns render(params, batch) -> rgb [R, 3] with foreground culling."""
     cfg = pipeline.cfg
-    if cfg.model_type not in ("nerf", "original_nerf") or not cfg.run_fine:
+    if cfg.model_type not in _FAMILIES or not cfg.run_fine:
         def render_fallback(params, batch):
             return pipeline(params, batch, None, False)["rgb_fine"]
         return render_fallback
@@ -40,6 +42,36 @@ def make_fast_renderer(pipeline: Pipeline, cap_fraction: float = 0.25):
     run = _make_net_runner(cfg, pipeline.models)
     pos_enc = pipeline.encoders["position"]
     dir_enc = pipeline.encoders["direction"]
+    pose_enc = pipeline.encoders["human_pose"]
+    mt = cfg.model_type
+    models = pipeline.models
+
+    def _two_joint(batch):
+        # smpl_nerf_pipeline.py:28 contract (see pipelines._two_joint_pose)
+        joints = sorted(cfg.human_joints)
+        return jnp.stack([batch["human_pose"][:, j] for j in joints], -1)
+
+    def _prefix(batch):
+        """Per-ray conditioning prefix for the append families, else None."""
+        if mt == "append_smpl_params":
+            pose = batch["human_pose"]
+        elif mt == "append_to_nerf":
+            pose = _two_joint(batch)
+        else:
+            return None
+        return pose_enc.encode(pose) if cfg.human_pose_encoding else pose
+
+    def _warp(params, samples, pose2):
+        """smpl_nerf warp-field evaluation on [R, S, 3] samples."""
+        R, S = samples.shape[:2]
+        pose_feat = pose_enc.encode(pose2) if cfg.human_pose_encoding else pose2
+        pose_exp = jnp.broadcast_to(pose_feat[:, None, :],
+                                    (R, S, pose_feat.shape[-1]))
+        sample_feat = pos_enc.encode(samples) if cfg.human_pose_encoding else samples
+        inputs = jnp.concatenate([sample_feat.reshape(R * S, -1),
+                                  pose_exp.reshape(R * S, -1)], -1)
+        return models["model_warp_field"].apply(
+            params["model_warp_field"], inputs).reshape(R, S, 3)
 
     def render(params, batch):
         origins = batch["ray_translation"]
@@ -49,10 +81,24 @@ def make_fast_renderer(pipeline: Pipeline, cap_fraction: float = 0.25):
 
         samples, z_vals = coarse_sampling(origins, dirs, cfg.near, cfg.far,
                                           cfg.number_coarse_samples, None)
+        S = samples.shape[1]
         dirs_exp = jnp.broadcast_to(dirs[:, None, :], samples.shape)
         dirs_enc = dir_enc.encode(_normalize(dirs_exp))
-        raw = run("model_coarse", params, pos_enc.encode(samples), dirs_enc)
-        out = raw2outputs(raw, z_vals, dirs_exp, 0.0, cfg.white_background)
+        prefix = _prefix(batch)
+        pose2 = _two_joint(batch) if mt == "smpl_nerf" else None
+        if mt == "smpl_nerf":
+            warp = _warp(params, samples, pose2)
+            warped = samples + warp
+            sdirs = warped - origins[:, None, :]
+            raw = run("model_coarse", params, pos_enc.encode(warped),
+                      dir_enc.encode(_normalize(sdirs)))
+            out = raw2outputs(raw, z_vals, sdirs, 0.0, cfg.white_background)
+        else:
+            pfx = (jnp.broadcast_to(prefix[:, None, :], (R, S, prefix.shape[-1]))
+                   if prefix is not None else None)
+            raw = run("model_coarse", params, pos_enc.encode(samples), dirs_enc,
+                      prefix=pfx)
+            out = raw2outputs(raw, z_vals, dirs_exp, 0.0, cfg.white_background)
 
         # top-K foreground rays by accumulated opacity
         _, fg = jax.lax.top_k(out.acc, K)
@@ -63,8 +109,22 @@ def make_fast_renderer(pipeline: Pipeline, cap_fraction: float = 0.25):
         Sf = samples_fine.shape[1]
         dirs_f = jnp.broadcast_to(take(dirs)[:, None, :], (K, Sf, 3))
         de_f = jnp.broadcast_to(take(dirs_enc)[:, :1, :], (K, Sf, dirs_enc.shape[-1]))
-        raw_f = run("model_fine", params, pos_enc.encode(samples_fine), de_f)
-        out_f = raw2outputs(raw_f, z_fine, dirs_f, 0.0, cfg.white_background)
+        if mt == "smpl_nerf":
+            warp_f = _warp(params, samples_fine, take(pose2))
+            warped_f = samples_fine + warp_f
+            fine_dirs = warped_f - take(origins)[:, None, :]
+            raw_f = run("model_fine", params, pos_enc.encode(warped_f),
+                        dir_enc.encode(_normalize(fine_dirs)))
+            # fine pass integrates with the UNwarped per-ray direction
+            # (smpl_nerf_pipeline.py:95-98)
+            out_f = raw2outputs(raw_f, z_fine, dirs_f, 0.0, cfg.white_background)
+        else:
+            pfx_f = (jnp.broadcast_to(take(prefix)[:, None, :],
+                                      (K, Sf, prefix.shape[-1]))
+                     if prefix is not None else None)
+            raw_f = run("model_fine", params, pos_enc.encode(samples_fine), de_f,
+                        prefix=pfx_f)
+            out_f = raw2outputs(raw_f, z_fine, dirs_f, 0.0, cfg.white_background)
         return out.rgb.at[fg].set(out_f.rgb)
 
     return render

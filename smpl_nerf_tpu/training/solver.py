@@ -40,6 +40,23 @@ def mse2psnr(mse: float) -> float:
     return -10.0 * np.log10(mse)
 
 
+def gather_batch(arrays: Dict[str, jnp.ndarray], idx) -> dict:
+    """Gather a ray batch from device-resident dataset arrays.
+
+    Keys ending in '_table' are per-IMAGE arrays (e.g. 'human_pose_table'
+    [N_img, 69]); they are mapped through the gathered image_indices so the
+    pipeline still sees a per-ray batch key ('human_pose' [R, 69]) without the
+    dataset ever materializing per-ray duplicates in HBM.
+    """
+    batch = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()
+             if not k.endswith("_table")}
+    for k, v in arrays.items():
+        if k.endswith("_table"):
+            img = batch["image_indices"].astype(jnp.int32)
+            batch[k[:-len("_table")]] = jnp.take(v, img, axis=0)
+    return batch
+
+
 def make_loss_fn(pipeline: Pipeline, canonical_vertices: Optional[np.ndarray] = None):
     """Loss = MSE(coarse) + MSE(fine) [+ GMM density prior]."""
     cfg = pipeline.cfg
@@ -47,16 +64,27 @@ def make_loss_fn(pipeline: Pipeline, canonical_vertices: Optional[np.ndarray] = 
     if cfg.use_gmm_loss and canonical_vertices is not None:
         gmm = GaussianMixture(np.asarray(canonical_vertices), cfg.gmm_std)
 
-    def loss_fn(params, batch, rng, train=True):
+    def loss_fn(params, batch, rng, train=True, mask=None):
+        """mask: optional [R] 0/1 weights — masked MEAN over real rays only
+        (validation pads short batches; padded rays must not bias the loss
+        that drives best-checkpoint selection)."""
+        if mask is None:
+            _mean = jnp.mean
+        else:
+            def _mean(x):
+                # per-ray reduce first (mean over trailing dims == global mean
+                # when every ray has the same element count), then masked mean
+                per_ray = x.reshape(x.shape[0], -1).mean(-1)
+                return jnp.sum(per_ray * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         out = pipeline(params, batch, rng, train)
         if cfg.model_type == "warp":
             # supervised warp training: MSE against the dataset's gt warp
             # (reference warp_solver.py:70-73)
-            loss = jnp.mean((out["warp"] - batch["warp"]) ** 2)
+            loss = _mean((out["warp"] - batch["warp"]) ** 2)
             return loss, {"loss": loss, "loss_coarse": loss, "loss_fine": loss}
         rgb_truth = batch["rgb"]
-        loss_c = jnp.mean((out["rgb_coarse"] - rgb_truth) ** 2)
-        loss_f = jnp.mean((out["rgb_fine"] - rgb_truth) ** 2)
+        loss_c = _mean((out["rgb_coarse"] - rgb_truth) ** 2)
+        loss_f = _mean((out["rgb_fine"] - rgb_truth) ** 2)
         loss = loss_c + loss_f
         aux = {"loss_coarse": loss_c, "loss_fine": loss_f}
         if gmm is not None and "ray_samples" in out:
@@ -64,7 +92,7 @@ def make_loss_fn(pipeline: Pipeline, canonical_vertices: Optional[np.ndarray] = 
             # smpl_nerf_solver.py:39-41 (its undefined restrict_gmm_loss flag
             # is treated as always-false, i.e. the loss applies when enabled)
             probs = gmm.pdf(out["ray_samples"])
-            gmm_loss = jnp.mean((probs - out["densities"]) ** 2)
+            gmm_loss = _mean((probs - out["densities"]) ** 2)
             loss = loss + gmm_loss
             aux["loss_gmm"] = gmm_loss
         aux["loss"] = loss
@@ -79,10 +107,14 @@ def make_optimizer(params, args, model_type: str,
     lrate = float(args.lrate)
     lrate_pose = float(args.lrate_pose)
     wd = float(getattr(args, "weight_decay", 0) or 0)
+    decay_k = int(getattr(args, "lrate_decay", 0) or 0)
 
     def base_opt(lr):
         if lr == 0.0:
             return optax.set_to_zero()
+        if decay_k > 0:
+            # original-NeRF schedule: lr * 0.1^(step / (decay_k * 1000))
+            lr = optax.exponential_decay(lr, decay_k * 1000, 0.1)
         if wd > 0:
             return optax.adamw(lr, weight_decay=wd)
         return optax.adam(lr)
@@ -163,8 +195,8 @@ class Solver:
             def body(carry, inp):
                 params, opt_state = carry
                 idx, sub = inp
-                batch = {k: jax.lax.with_sharding_constraint(
-                    jnp.take(v, idx, axis=0), data_sh) for k, v in arrays.items()}
+                batch = {k: jax.lax.with_sharding_constraint(v, data_sh)
+                         for k, v in gather_batch(arrays, idx).items()}
                 (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                     params, batch, sub, True)
                 updates, opt_state = self.optimizer.update(grads, opt_state, params)
@@ -176,8 +208,8 @@ class Solver:
             return params, opt_state, losses
 
         @jax.jit
-        def eval_step(params, batch):
-            _, aux = self.loss_fn(params, batch, None, False)
+        def eval_step(params, batch, mask=None):
+            _, aux = self.loss_fn(params, batch, None, False, mask)
             return aux
 
         @jax.jit
@@ -200,7 +232,7 @@ class Solver:
 
     # ---------------------------------------------------------------- utils
     def _gather_batch(self, arrays: Dict[str, jnp.ndarray], idx: np.ndarray) -> dict:
-        batch = {k: jnp.take(v, jnp.asarray(idx), axis=0) for k, v in arrays.items()}
+        batch = gather_batch(arrays, jnp.asarray(idx))
         return mesh_mod.shard_batch(batch, self.mesh)
 
     def _device_arrays(self, data, model_type) -> Dict[str, jnp.ndarray]:
@@ -220,6 +252,10 @@ class Solver:
 
         scan_steps = int(getattr(args, "scan_steps", 0) or 0)
         early_val = bool(int(getattr(args, "early_validation", 0)))
+        if scan_steps > 1 and early_val:
+            print("WARNING: --early_validation needs per-step host control; "
+                  f"--scan_steps={scan_steps} is ignored (stepping one dispatch "
+                  "per batch).")
         np_rng = np.random.RandomState(int(getattr(args, "seed", 0)))
 
         # foreground-weighted ray sampling: synthetic human scenes are ~95%
@@ -241,7 +277,37 @@ class Solver:
                 print(f"foreground sampling: {len(fg_idx)}/{n} fg rays, "
                       f"ratio {fg_ratio}")
 
+        # images-per-batch sampling (dynamic families): draw each batch from at
+        # most K images so the in-step estimator+LBS runs on K poses, not every
+        # dataset image. Rays are stored contiguously per image (datasets.py).
+        ipb = int(getattr(args, "images_per_batch", 0) or 0)
+        n_img = train_data.num_images
+        hw = n // max(1, n_img)
+        ipb = ipb if 0 < ipb < n_img else 0
+        if ipb and int(args.batchsize_val) > max(1, (ipb - 1)) * hw:
+            # sequential val batches must fit inside the size-K unique set too
+            raise ValueError(
+                f"images_per_batch={ipb}: batchsize_val={args.batchsize_val} can "
+                f"span more than {ipb} images ({hw} rays/image); lower "
+                "batchsize_val or raise images_per_batch")
+        fg_mask = None
+        if ipb and fg_ratio > 0.0:
+            fg_mask = np.zeros(n, bool)
+            fg_mask[fg_idx] = True
+
         def draw_batch_indices():
+            if ipb:
+                imgs = np_rng.choice(n_img, ipb, replace=False)
+                cand = (imgs[:, None] * hw
+                        + np.arange(hw)[None, :]).reshape(-1)  # rays of K images
+                if fg_ratio > 0.0:
+                    cfg_, cbg = cand[fg_mask[cand]], cand[~fg_mask[cand]]
+                    if len(cfg_) and len(cbg):
+                        n_fg = int(bs * fg_ratio)
+                        return np.concatenate([
+                            cfg_[np_rng.randint(0, len(cfg_), n_fg)],
+                            cbg[np_rng.randint(0, len(cbg), bs - n_fg)]])
+                return cand[np_rng.randint(0, len(cand), bs)]
             n_fg = int(bs * fg_ratio)
             fg = fg_idx[np_rng.randint(0, len(fg_idx), n_fg)]
             bg = bg_idx[np_rng.randint(0, len(bg_idx), bs - n_fg)]
@@ -258,7 +324,7 @@ class Solver:
                     k = min(scan_steps, steps_per_epoch - step)
                     idx_block = np.empty((k, bs), np.int32)
                     for j in range(k):
-                        if fg_ratio > 0.0:
+                        if fg_ratio > 0.0 or ipb:
                             idx_block[j] = draw_batch_indices()
                             continue
                         lo = ((step + j) * bs) % max(1, n - bs + 1) if n >= bs else 0
@@ -275,7 +341,7 @@ class Solver:
                     self.global_step += k
             else:
                 for step in range(steps_per_epoch):
-                    if fg_ratio > 0.0:
+                    if fg_ratio > 0.0 or ipb:
                         idx = draw_batch_indices()
                     else:
                         lo = (step * bs) % max(1, n - bs + 1) if n >= bs else 0
@@ -372,20 +438,46 @@ class Solver:
             log_mod.vedo_data(self.log_dir, densities[0], samples[0], epoch=epoch)
 
     def _validate(self, val_arrays, n_val: int) -> float:
+        """Masked validation loss over the FULL val set (or a strided subset).
+
+        Every ray is visited exactly once — the tail batch is padded to the
+        static batch shape and the pads masked out of the mean, so the loss
+        that drives best-checkpoint selection is unbiased (the reference's
+        range(0, n - bs + 1, bs) loop silently dropped the tail).
+
+        --val_rays > 0 caps per-epoch validation cost for reference-scale runs
+        (a 58-image 256x256 val split is 3.8M rays) with a deterministic
+        stride over the whole set; the final full-set scores come from
+        cli/inference.py either way.
+        """
+        val_rays = int(getattr(self.args, "val_rays", 0) or 0)
+        if 0 < val_rays < n_val:
+            all_idx = np.linspace(0, n_val - 1, val_rays).astype(np.int64)
+        else:
+            all_idx = np.arange(n_val, dtype=np.int64)
         bs = mesh_mod.pad_to_multiple(int(self.args.batchsize_val), self.n_data)
-        losses = []
-        for lo in range(0, max(1, n_val - bs + 1), bs):
-            idx = np.arange(lo, min(lo + bs, n_val))
-            if len(idx) < bs:
-                idx = np.concatenate([idx, np.zeros(bs - len(idx), np.int64)])
+        total, weight = 0.0, 0.0
+        for lo in range(0, len(all_idx), bs):
+            idx = all_idx[lo:lo + bs]
+            n_real = len(idx)
+            if n_real < bs:
+                idx = np.concatenate([idx, np.full(bs - n_real, idx[-1])])
+            mask = np.zeros(bs, np.float32)
+            mask[:n_real] = 1.0
             batch = self._gather_batch(val_arrays, idx)
-            aux = self._eval_step(self.params, batch)
-            losses.append(float(aux["loss"]))
-        return float(np.mean(losses)) if losses else float("nan")
+            aux = self._eval_step(self.params, batch, jnp.asarray(mask))
+            total += float(aux["loss"]) * n_real
+            weight += n_real
+        return total / weight if weight else float("nan")
 
     def render_rays_batched(self, data, model_type: Optional[str] = None,
-                            batch_size: Optional[int] = None) -> np.ndarray:
-        """Render every ray of `data`; returns rgb_fine [N, 3] on host."""
+                            batch_size: Optional[int] = None,
+                            render_fn: Optional[Callable] = None) -> np.ndarray:
+        """Render every ray of `data`; returns rgb_fine [N, 3] on host.
+
+        render_fn: optional (params, batch) -> rgb [bs, 3] override — e.g. the
+        foreground-culled renderer (render/fast.make_fast_renderer).
+        """
         model_type = model_type or self.args.model_type
         arrays = self._device_arrays(data, model_type)
         n = data.num_rays
@@ -399,7 +491,10 @@ class Solver:
             if pad:
                 idx = np.concatenate([idx, np.zeros(pad, np.int64)])
             batch = self._gather_batch(arrays, idx)
-            _, rgb_fine = self._render_step(self.params, batch)
+            if render_fn is not None:
+                rgb_fine = render_fn(self.params, batch)
+            else:
+                _, rgb_fine = self._render_step(self.params, batch)
             out[lo:lo + bs - pad] = np.asarray(rgb_fine)[:bs - pad]
         return out
 

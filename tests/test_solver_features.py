@@ -13,7 +13,8 @@ from smpl_nerf_tpu.models import smpl as smpl_mod
 from smpl_nerf_tpu.pipelines import RenderConfig, build_pipeline
 from smpl_nerf_tpu.training import checkpoints
 from smpl_nerf_tpu.training.factory import build_models_and_params
-from smpl_nerf_tpu.training.solver import Solver, make_loss_fn, make_optimizer
+from smpl_nerf_tpu.training.solver import (Solver, gather_batch, make_loss_fn,
+                                            make_optimizer)
 
 
 @pytest.fixture(scope="module")
@@ -49,7 +50,7 @@ def test_gmm_prior_loss_activates(ds, rng):
     canonical = np.asarray(smpl_mod.smpl_forward(human, jnp.zeros(10), jnp.zeros(69)))
     loss_fn = make_loss_fn(pipeline, canonical)
     arrays = {k: jnp.asarray(v) for k, v in train_data.batch_arrays("smpl_nerf").items()}
-    batch = {k: v[:32] for k, v in arrays.items()}
+    batch = gather_batch(arrays, jnp.arange(32))
     loss, aux = loss_fn(params, batch, jax.random.PRNGKey(1), True)
     assert "loss_gmm" in aux
     assert float(aux["loss_gmm"]) >= 0
@@ -75,6 +76,55 @@ def test_load_run_resume(ds, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(solver.params),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_validate_covers_tail_unbiased(ds):
+    """batchsize_val not dividing n_val: every ray counted once, no pad bias.
+
+    The reference's val loop (nerf_solver.py range(0, n-bs+1, bs)) silently
+    dropped the tail; ours must equal the exact full-set loss.
+    """
+    args, _ = _args(ds, batchsize_val=50)   # n_val = 144, tail of 44
+    train_data = datasets.load_dataset(os.path.join(ds, "train"), "smpl_nerf", args)
+    val_data = datasets.load_dataset(os.path.join(ds, "val"), "smpl_nerf", args)
+    models, params, encoders = build_models_and_params(args, jax.random.PRNGKey(0), {})
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+    solver = Solver(pipeline, params, args)
+    val_arrays = solver._device_arrays(val_data, "smpl_nerf")
+    n_val = val_data.num_rays
+    assert n_val % 50 != 0
+    got = solver._validate(val_arrays, n_val)
+    full_batch = gather_batch(val_arrays, jnp.arange(n_val))
+    want, _ = solver.loss_fn(solver.params, full_batch, None, False)
+    np.testing.assert_allclose(got, float(want), rtol=1e-5)
+
+
+def test_val_rays_subset(ds):
+    """--val_rays caps per-epoch validation to a deterministic strided subset."""
+    args, _ = _args(ds, batchsize_val=32, val_rays=64)
+    val_data = datasets.load_dataset(os.path.join(ds, "val"), "smpl_nerf", args)
+    models, params, encoders = build_models_and_params(args, jax.random.PRNGKey(0), {})
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+    solver = Solver(pipeline, params, args)
+    val_arrays = solver._device_arrays(val_data, "smpl_nerf")
+    got = solver._validate(val_arrays, val_data.num_rays)
+    idx = np.linspace(0, val_data.num_rays - 1, 64).astype(np.int64)
+    batch = gather_batch(val_arrays, jnp.asarray(idx))
+    want, _ = solver.loss_fn(solver.params, batch, None, False)
+    np.testing.assert_allclose(got, float(want), rtol=1e-5)
+
+
+def test_pose_table_gather_matches_per_ray(ds):
+    """human_pose_table + image_indices gather == per-ray materialized poses."""
+    args, _ = _args(ds)
+    train_data = datasets.load_dataset(os.path.join(ds, "train"), "smpl_nerf", args)
+    arrays = {k: jnp.asarray(v)
+              for k, v in train_data.batch_arrays("smpl_nerf").items()}
+    assert "human_pose_table" in arrays
+    idx = jnp.asarray([0, 5, 300, train_data.num_rays - 1])
+    batch = gather_batch(arrays, idx)
+    want = train_data.human_poses[train_data.image_indices[np.asarray(idx)]]
+    np.testing.assert_allclose(np.asarray(batch["human_pose"]), want)
 
 
 def test_optimizer_labels_frozen_nerf():
