@@ -40,6 +40,18 @@ def mse2psnr(mse: float) -> float:
     return -10.0 * np.log10(mse)
 
 
+def gather_batch_np(arrays: Dict[str, np.ndarray], idx: np.ndarray) -> dict:
+    """Host-side (numpy) twin of gather_batch — multi-host batch assembly
+    gathers rows on the host and ships only each process's slice to device."""
+    batch = {k: np.take(v, idx, axis=0) for k, v in arrays.items()
+             if not k.endswith("_table")}
+    for k, v in arrays.items():
+        if k.endswith("_table"):
+            img = batch["image_indices"].astype(np.int32)
+            batch[k[:-len("_table")]] = np.take(v, img, axis=0)
+    return batch
+
+
 def gather_batch(arrays: Dict[str, jnp.ndarray], idx) -> dict:
     """Gather a ray batch from device-resident dataset arrays.
 
@@ -153,16 +165,25 @@ class Solver:
                  frozen_nerf: bool = False,
                  mesh=None, log_dir: Optional[str] = None,
                  writer=None):
+        from smpl_nerf_tpu.parallel import multihost
         self.pipeline = pipeline
         self.args = args
         self.mesh = mesh if mesh is not None else mesh_mod.make_mesh(
             getattr(args, "mesh_shape", ""))
         self.n_data = int(self.mesh.shape["data"])
+        self.multihost = multihost.is_multihost()
         self.loss_fn = make_loss_fn(pipeline, canonical_vertices)
         self.optimizer = make_optimizer(params, args, args.model_type, frozen_nerf)
-        self.params = jax.device_put(params, mesh_mod.replicate_sharding(self.mesh))
-        self.opt_state = jax.device_put(self.optimizer.init(self.params),
-                                        mesh_mod.replicate_sharding(self.mesh))
+        if self.multihost:
+            # per-process replication: device_put cannot target non-addressable
+            # devices, so replicate via make_array_from_callback
+            self.params = multihost.put_replicated(params, self.mesh)
+            self.opt_state = multihost.put_replicated(
+                jax.device_get(self.optimizer.init(params)), self.mesh)
+        else:
+            self.params = jax.device_put(params, mesh_mod.replicate_sharding(self.mesh))
+            self.opt_state = jax.device_put(self.optimizer.init(self.params),
+                                            mesh_mod.replicate_sharding(self.mesh))
         self.log_dir = log_dir
         self.writer = writer
         self.global_step = 0
@@ -232,11 +253,27 @@ class Solver:
 
     # ---------------------------------------------------------------- utils
     def _gather_batch(self, arrays: Dict[str, jnp.ndarray], idx: np.ndarray) -> dict:
+        if self.multihost:
+            from smpl_nerf_tpu.parallel import multihost
+            batch_np = gather_batch_np(arrays, np.asarray(idx))
+            return multihost.make_global_batch(batch_np, self.mesh)
         batch = gather_batch(arrays, jnp.asarray(idx))
         return mesh_mod.shard_batch(batch, self.mesh)
 
-    def _device_arrays(self, data, model_type) -> Dict[str, jnp.ndarray]:
-        return {k: jnp.asarray(v) for k, v in data.batch_arrays(model_type).items()}
+    def _shard_rows(self, x: np.ndarray):
+        """Place a [bs, ...] host array sharded over the data axis."""
+        if self.multihost:
+            from smpl_nerf_tpu.parallel import multihost
+            return multihost.make_global_batch({"x": x}, self.mesh)["x"]
+        return jax.device_put(jnp.asarray(x), self._data_sharding)
+
+    def _device_arrays(self, data, model_type):
+        arrays = data.batch_arrays(model_type)
+        if self.multihost:
+            # multi-host: the dataset stays on HOST; batches are assembled
+            # per-process each step (make_array_from_process_local_data)
+            return {k: np.asarray(v) for k, v in arrays.items()}
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
 
     # ---------------------------------------------------------------- train
     def train(self, train_data, val_data, rng: Optional[jax.Array] = None,
@@ -256,6 +293,10 @@ class Solver:
             print("WARNING: --early_validation needs per-step host control; "
                   f"--scan_steps={scan_steps} is ignored (stepping one dispatch "
                   "per batch).")
+        if scan_steps > 1 and self.multihost:
+            print("WARNING: multi-host batches are assembled per process per "
+                  f"step; --scan_steps={scan_steps} is ignored.")
+            scan_steps = 0
         np_rng = np.random.RandomState(int(getattr(args, "seed", 0)))
 
         # foreground-weighted ray sampling: synthetic human scenes are ~95%
@@ -373,7 +414,7 @@ class Solver:
                 self._log_rerenders(val_arrays, val_data, epoch)
             if callback is not None:
                 callback(self, epoch)
-            if self.log_dir:
+            if self.log_dir and jax.process_index() == 0:
                 from smpl_nerf_tpu.training import checkpoints
                 checkpoints.save_run(self.log_dir, self.params, args)
                 # keep the best-validation snapshot separately (the reference
@@ -465,7 +506,7 @@ class Solver:
             mask = np.zeros(bs, np.float32)
             mask[:n_real] = 1.0
             batch = self._gather_batch(val_arrays, idx)
-            aux = self._eval_step(self.params, batch, jnp.asarray(mask))
+            aux = self._eval_step(self.params, batch, self._shard_rows(mask))
             total += float(aux["loss"]) * n_real
             weight += n_real
         return total / weight if weight else float("nan")
