@@ -234,6 +234,9 @@ def config_parser() -> ConfigArgumentParser:
     # TPU-native extensions (not in the reference)
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         help="float32|bfloat16 compute precision for MLP matmuls")
+    parser.add_argument("--tensor_parallel", type=int, default=0,
+                        help="1: width-shard the NeRF MLPs over the mesh "
+                             "'model' axis (use with e.g. --mesh_shape=4,2)")
     parser.add_argument("--mesh_shape", type=str, default="",
                         help="device mesh, e.g. '8' (data) or '4,2' (data,model); '' = all devices on data axis")
     parser.add_argument("--use_pallas", type=int, default=1,

@@ -174,12 +174,20 @@ class Solver:
         self.multihost = multihost.is_multihost()
         self.loss_fn = make_loss_fn(pipeline, canonical_vertices)
         self.optimizer = make_optimizer(params, args, args.model_type, frozen_nerf)
+        self.tensor_parallel = (int(getattr(args, "tensor_parallel", 0) or 0) > 0
+                                and int(self.mesh.shape["model"]) > 1)
         if self.multihost:
             # per-process replication: device_put cannot target non-addressable
             # devices, so replicate via make_array_from_callback
             self.params = multihost.put_replicated(params, self.mesh)
             self.opt_state = multihost.put_replicated(
                 jax.device_get(self.optimizer.init(params)), self.mesh)
+        elif self.tensor_parallel:
+            # width-shard the MLPs over the 'model' axis; optimizer state
+            # inherits the kernel shardings from zeros_like
+            from smpl_nerf_tpu.parallel import tp
+            self.params = tp.place_params_tp(params, self.mesh)
+            self.opt_state = self.optimizer.init(self.params)
         else:
             self.params = jax.device_put(params, mesh_mod.replicate_sharding(self.mesh))
             self.opt_state = jax.device_put(self.optimizer.init(self.params),
@@ -191,9 +199,15 @@ class Solver:
 
         data_sh = mesh_mod.data_sharding(self.mesh)
         repl = mesh_mod.replicate_sharding(self.mesh)
+        if self.tensor_parallel:
+            # params/opt-state keep their width shardings: let XLA carry the
+            # input shardings through (donation preserves layout)
+            step_out_shardings = None
+        else:
+            step_out_shardings = (repl, repl, repl)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1),
-                           out_shardings=(repl, repl, repl))
+                           out_shardings=step_out_shardings)
         def train_step(params, opt_state, batch, rng):
             (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 params, batch, rng, True)
