@@ -50,6 +50,11 @@ def train(argv: Optional[list] = None, log_dir: Optional[str] = None,
         # multi-host pods: same code; jax.devices() then spans the slice and
         # batches shard over every chip (SURVEY.md §2.9 communication plan)
         jax.distributed.initialize()
+    if int(getattr(args, "check_nans", 0)):
+        # sanitizer mode: XLA re-runs the offending jit op-by-op at the first
+        # NaN and names the producing primitive (reference print_number_nans
+        # analog, SURVEY §5 sanitizers)
+        jax.config.update("jax_debug_nans", True)
     np.random.seed(int(getattr(args, "seed", 0)))
     rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
 

@@ -252,6 +252,11 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--scan_steps", type=int, default=0,
                         help=">1: run this many train steps per dispatch via lax.scan "
                              "(amortizes host->device dispatch latency)")
+    parser.add_argument("--check_nans", type=int, default=0,
+                        help="1: enable jax_debug_nans (jit re-runs op-by-op at "
+                             "the first NaN and points at the producing op) and "
+                             "per-epoch finite checks with a param NaN report — "
+                             "the reference's print_number_nans analog")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of a few training steps here")
     parser.add_argument("--multihost", type=int, default=0,

@@ -40,6 +40,22 @@ def mse2psnr(mse: float) -> float:
     return -10.0 * np.log10(mse)
 
 
+def nan_report(tree, name: str = "params") -> str:
+    """Per-leaf NaN/Inf counts — the reference print_number_nans (utils.py:68-69)
+    generalized to a whole pytree. Empty string when everything is finite."""
+    lines = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        arr = np.asarray(jax.device_get(leaf))
+        if not np.issubdtype(arr.dtype, np.floating):
+            continue
+        n_nan = int(np.isnan(arr).sum())
+        n_inf = int(np.isinf(arr).sum())
+        if n_nan or n_inf:
+            key = "/".join(str(getattr(p, "key", p)) for p in path)
+            lines.append(f"  {name}{key}: {n_nan} NaN, {n_inf} Inf of {arr.size}")
+    return "\n".join(lines)
+
+
 def gather_batch_np(arrays: Dict[str, np.ndarray], idx: np.ndarray) -> dict:
     """Host-side (numpy) twin of gather_batch — multi-host batch assembly
     gathers rows on the host and ships only each process's slice to device."""
@@ -413,6 +429,12 @@ class Solver:
                         val_loss = self._validate(val_arrays, val_data.num_rays)
                         self._log("val_loss_early", val_loss)
             train_loss = float(np.mean([float(l) for l in epoch_losses]))
+            if int(getattr(args, "check_nans", 0)) and not np.isfinite(train_loss):
+                report = nan_report(self.params)
+                raise RuntimeError(
+                    f"non-finite train loss {train_loss} at epoch {epoch}"
+                    + (f"; non-finite params:\n{report}" if report else
+                       " (params still finite - NaN originated in the loss)"))
             val_loss = self._validate(val_arrays, val_data.num_rays)
             dt = time.time() - t0
             rays_per_sec = steps_per_epoch * bs / dt

@@ -142,3 +142,24 @@ def test_optimizer_labels_frozen_nerf():
     # frozen nerf params get zero updates; estimator params move
     np.testing.assert_allclose(np.asarray(updates["model_coarse"]["w"]), 0.0)
     assert np.abs(np.asarray(updates["smpl_estimator"]["params"]["a"])).max() > 0
+
+
+def test_nan_report_counts():
+    from smpl_nerf_tpu.training.solver import nan_report
+    tree = {"a": {"kernel": jnp.asarray([1.0, np.nan, np.inf, 2.0])},
+            "b": jnp.ones(3), "idx": jnp.arange(3)}
+    report = nan_report(tree)
+    assert "1 NaN, 1 Inf of 4" in report and "a/kernel" in report
+    assert "b" not in report
+    assert nan_report({"x": jnp.ones(2)}) == ""
+
+
+def test_check_nans_raises_with_report(ds):
+    """--check_nans: a poisoned run fails fast with the param NaN report."""
+    args, _ = _args(ds, check_nans=1, lrate=1e30)  # lr blowup -> NaN params
+    train_data = datasets.load_dataset(os.path.join(ds, "train"), "smpl_nerf", args)
+    models, params, encoders = build_models_and_params(args, jax.random.PRNGKey(0), {})
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+    solver = Solver(pipeline, params, args)
+    with pytest.raises(RuntimeError, match="non-finite train loss"):
+        solver.train(train_data, train_data)
