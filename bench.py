@@ -81,38 +81,40 @@ def bench_jax(batch: int = 2048, steps: int = 32):
     _stderr(f"jax train: {rays_per_sec:,.0f} rays/s ({dt/steps*1e3:.1f} ms/step, "
             f"backend={jax.default_backend()})")
 
-    # ---- render latency: full 128x128 image ----
+    # ---- render latency: full 128x128 image, FLAGSHIP (smpl_nerf) model ----
     # production novel-view path: foreground-culled hierarchical renderer
-    # (render/fast.py — fine pass only on the top-25% opacity rays; exact for
-    # zero-weight background rays). The naive all-rays path is reported too.
+    # (render/fast.py — warp field + fine pass only on the top-25% opacity
+    # rays; exact for zero-weight background rays). Conditioned culling covers
+    # the warp-field family since round 2; the naive all-rays path is reported
+    # too.
     from smpl_nerf_tpu.render.fast import make_fast_renderer
 
-    nerf_args, nerf_pipeline, nerf_params = g._build([
+    render_args, render_pipeline, render_params = g._build([
         f"--use_pallas={use_pallas}", "--sigma_noise_std=0", "--run_fine=1",
-        "--compute_dtype=bfloat16", "--model_type=nerf"])
+        "--compute_dtype=bfloat16"])
 
     @jax.jit
     def render_naive(p, batch_data):
-        return nerf_pipeline(p, batch_data, None, False)["rgb_fine"]
+        return render_pipeline(p, batch_data, None, False)["rgb_fine"]
 
-    render_fast = jax.jit(make_fast_renderer(nerf_pipeline, cap_fraction=0.25))
+    render_fast = jax.jit(make_fast_renderer(render_pipeline, cap_fraction=0.25))
 
     img_batch = g._example_batch(128 * 128)
-    img_batch.pop("human_pose", None)
     img_batch.pop("image_indices", None)
 
     def best_ms(fn, reps=5):
-        np.asarray(fn(nerf_params, img_batch))  # compile + warm
+        np.asarray(fn(render_params, img_batch))  # compile + warm
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            np.asarray(fn(nerf_params, img_batch))
+            np.asarray(fn(render_params, img_batch))
             times.append(time.perf_counter() - t0)
         return min(times) * 1e3
 
     render_ms = best_ms(render_fast)
     naive_ms = best_ms(render_naive)
-    _stderr(f"128x128 render: {render_ms:.1f} ms (fg-culled), {naive_ms:.1f} ms (all rays)")
+    _stderr(f"128x128 smpl_nerf render: {render_ms:.1f} ms (fg-culled), "
+            f"{naive_ms:.1f} ms (all rays)")
     return rays_per_sec, render_ms, naive_ms
 
 
@@ -197,7 +199,7 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/sec/chip",
         "vs_baseline": round(vs, 2),
-        "extra": {"render_128x128_ms": round(render_ms, 2),
+        "extra": {"render_128x128_smpl_nerf_ms": round(render_ms, 2),
                   "render_128x128_all_rays_ms": round(naive_ms, 2),
                   "torch_cpu_rays_per_sec": round(torch_rays, 1) if torch_rays else None},
     }))

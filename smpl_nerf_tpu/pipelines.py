@@ -55,7 +55,7 @@ class RenderConfig:
     human_pose_encoding: bool = False
     human_joints: tuple = (41, 38)
     use_pallas: bool = False
-    use_fused_mlp: bool = False
+    use_fused_mlp: int = 0  # 0 off, 1 fused MLP, 2 fused MLP + in-kernel encoding
     warp_radius: float = 0.01
     warp_temperature: float = 10000.0
     use_gmm_loss: bool = False
@@ -75,7 +75,7 @@ class RenderConfig:
             human_pose_encoding=bool(int(args.human_pose_encoding)),
             human_joints=tuple(int(j) for j in args.human_joints),
             use_pallas=bool(int(getattr(args, "use_pallas", 0))),
-            use_fused_mlp=bool(int(getattr(args, "use_fused_mlp", 0))),
+            use_fused_mlp=int(getattr(args, "use_fused_mlp", 0) or 0),
             warp_radius=float(args.warp_radius),
             warp_temperature=float(args.warp_temperature),
             use_gmm_loss=bool(int(args.use_gmm_loss)),
@@ -100,28 +100,61 @@ def _normalize(v: jnp.ndarray) -> jnp.ndarray:
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
 
-def _make_net_runner(cfg, models):
-    """Returns run(key, params, samples_enc, dirs_enc, prefix) -> raw [R,S,4].
+def _make_net_runner(cfg, models, encoders):
+    """Returns run(key, params, samples, dirs_unit, prefix) -> raw [R,S,4].
 
-    Flattens [R,S,E] encodings into the [R*S, E] MLP megabatch. When
-    cfg.use_fused_mlp is set and the net is a plain RenderRayNet, the whole MLP
-    runs as the fused Pallas kernel (ops/fused_mlp.py) instead of a chain of
-    XLA matmuls.
+    Takes RAW [R,S,3] sample positions and unit directions ([R,S,3], or
+    [R,1,3] when the direction is constant per ray — the reference reuses the
+    first coarse sample's encoding, nerf_pipeline.py:51-53) plus an optional
+    per-ray conditioning prefix [R,P], and owns the encoding step:
+
+      * use_fused_mlp=0: PositionalEncoder + flax apply (XLA fuses the
+        sin/cos epilogue into the first matmul),
+      * use_fused_mlp=1: encode, then the fused whole-MLP Pallas kernel
+        (ops/fused_mlp.py),
+      * use_fused_mlp=2: feed raw 24 B/sample rows straight to the v2 kernel —
+        both encodings are built IN-KERNEL as one small matmul + sine
+        (ops/fused_mlp_v2.py), cutting the HBM read per sample ~14x.
     """
     from smpl_nerf_tpu.models import RenderRayNet
     from smpl_nerf_tpu.ops import fused_mlp as fused_mod
+    from smpl_nerf_tpu.ops import fused_mlp_v2 as fused_v2
 
-    specs = {}
+    pos_enc = encoders["position"]
+    dir_enc = encoders["direction"]
+    specs, specs_v2 = {}, {}
     for key, model in models.items():
-        if isinstance(model, RenderRayNet) and cfg.use_fused_mlp:
-            specs[key] = fused_mod.spec_from_model(model)
+        if not isinstance(model, RenderRayNet) or not cfg.use_fused_mlp:
+            continue
+        spec = fused_mod.spec_from_model(model)
+        if cfg.use_fused_mlp >= 2:
+            if not fused_v2.supports(spec, pos_enc, dir_enc):
+                raise ValueError(
+                    "--use_fused_mlp=2 needs 3-coord sin/cos encoders without "
+                    "identity blocks (got identity or mismatched dims)")
+            specs_v2[key] = spec
+        else:
+            specs[key] = spec
 
-    def run(key, params, samples_enc, dirs_enc, prefix=None):
-        R, S = samples_enc.shape[:2]
+    def run(key, params, samples, dirs_unit, prefix=None):
+        R, S = samples.shape[:2]
         parts = []
+        if key in specs_v2:
+            if prefix is not None:
+                parts.append(jnp.broadcast_to(
+                    prefix[:, None, :], (R, S, prefix.shape[-1])).reshape(R * S, -1))
+            parts += [samples.reshape(R * S, 3),
+                      jnp.broadcast_to(dirs_unit, (R, S, 3)).reshape(R * S, 3)]
+            raw = fused_v2.fused_apply_raw(specs_v2[key], params[key],
+                                           jnp.concatenate(parts, -1))
+            return raw.reshape(R, S, raw.shape[-1])
+        samples_enc = pos_enc.encode(samples)
+        de = dir_enc.encode(dirs_unit)
+        de = jnp.broadcast_to(de, (R, S, de.shape[-1]))
         if prefix is not None:
-            parts.append(prefix.reshape(R * S, -1))
-        parts += [samples_enc.reshape(R * S, -1), dirs_enc.reshape(R * S, -1)]
+            parts.append(jnp.broadcast_to(
+                prefix[:, None, :], (R, S, prefix.shape[-1])).reshape(R * S, -1))
+        parts += [samples_enc.reshape(R * S, -1), de.reshape(R * S, -1)]
         inputs = jnp.concatenate(parts, -1)
         if key in specs:
             raw = fused_mod.fused_apply(specs[key], params[key], inputs)
@@ -171,7 +204,7 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
       'canonical_pose' [69], 'goal_pose_table' [N_img, 69] etc.
     """
     extras = extras or {}
-    _run = _make_net_runner(cfg, models)
+    _run = _make_net_runner(cfg, models, encoders)
     pos_enc = encoders["position"]
     dir_enc = encoders["direction"]
     pose_enc = encoders["human_pose"]
@@ -183,11 +216,9 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         noise = cfg.sigma_noise_std if train else 0.0
         origins = batch["ray_translation"]
         dirs = batch["ray_direction"]
-        S = samples.shape[1]
         dirs_exp = jnp.broadcast_to(dirs[:, None, :], samples.shape)
-        dirs_enc = dir_enc.encode(_normalize(dirs_exp))
-        raw = _run("model_coarse", params,
-                       pos_enc.encode(samples), dirs_enc)
+        dirs_unit = _normalize(dirs)[:, None, :]
+        raw = _run("model_coarse", params, samples, dirs_unit)
         out = raw2outputs(raw, z_vals, dirs_exp, noise, cfg.white_background,
                           rng_nc if train else None)
         result = {"rgb_coarse": out.rgb, "densities": out.density,
@@ -199,12 +230,10 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
                                              cfg.number_fine_samples, cfg.use_pallas)
         Sf = samples_fine.shape[1]
         dirs_fine = jnp.broadcast_to(dirs[:, None, :], (dirs.shape[0], Sf, 3))
-        # the reference reuses the first coarse sample's direction encoding
-        # (nerf_pipeline.py:51-53) — directions are constant per ray, same thing
-        raw_f = _run("model_fine", params,
-                     pos_enc.encode(samples_fine),
-                     jnp.broadcast_to(dirs_enc[:, :1, :],
-                                      (dirs.shape[0], Sf, dirs_enc.shape[-1])))
+        # directions are constant per ray: the [R,1,3] unit dir is encoded once
+        # and broadcast (the reference reuses the first coarse sample's
+        # encoding, nerf_pipeline.py:51-53 — same values)
+        raw_f = _run("model_fine", params, samples_fine, dirs_unit)
         out_f = raw2outputs(raw_f, z_fine, dirs_fine, noise, cfg.white_background,
                             rng_nf if train else None)
         result.update(rgb_fine=out_f.rgb, densities=out_f.density,
@@ -244,8 +273,7 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         ).reshape(R, S, 3)
         warped = samples + warp
         samples_dirs = warped - origins[:, None, :]
-        raw = _run("model_coarse", params,
-                       pos_enc.encode(warped), dir_enc.encode(_normalize(samples_dirs)))
+        raw = _run("model_coarse", params, warped, _normalize(samples_dirs))
         out = raw2outputs(raw, z_vals, samples_dirs, noise, cfg.white_background,
                           rng_nc if train else None)
         result = {"rgb_coarse": out.rgb, "warp": warp, "ray_samples": samples,
@@ -261,8 +289,7 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         ).reshape(R, Sf, 3)
         warped_f = samples_fine + warp_f
         fine_dirs = warped_f - origins[:, None, :]
-        raw_f = _run("model_fine", params,
-                         pos_enc.encode(warped_f), dir_enc.encode(_normalize(fine_dirs)))
+        raw_f = _run("model_fine", params, warped_f, _normalize(fine_dirs))
         # reference integrates the fine pass with the UNwarped per-ray direction
         # (smpl_nerf_pipeline.py:95-98)
         dirs_fine = jnp.broadcast_to(dirs[:, None, :], (R, Sf, 3))
@@ -284,15 +311,10 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
             pose = pose_of_batch(batch)
             pose_feat = pose_enc.encode(pose) if cfg.human_pose_encoding else pose
             dirs_exp = jnp.broadcast_to(dirs[:, None, :], samples.shape)
-            dirs_enc_c = dir_enc.encode(_normalize(dirs_exp))
+            dirs_unit = _normalize(dirs)[:, None, :]
 
-            def run(model_key, smp, de, Sx):
-                prefix = jnp.broadcast_to(pose_feat[:, None, :],
-                                          (R, Sx, pose_feat.shape[-1]))
-                return _run(model_key, params, pos_enc.encode(smp), de,
-                            prefix=prefix)
-
-            raw = run("model_coarse", samples, dirs_enc_c, S)
+            raw = _run("model_coarse", params, samples, dirs_unit,
+                       prefix=pose_feat)
             out = raw2outputs(raw, z_vals, dirs_exp, noise, cfg.white_background,
                               rng_nc if train else None)
             result = {"rgb_coarse": out.rgb, "densities": out.density,
@@ -304,8 +326,8 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
                                                  cfg.number_fine_samples, cfg.use_pallas)
             Sf = samples_fine.shape[1]
             dirs_fine = jnp.broadcast_to(dirs[:, None, :], (R, Sf, 3))
-            de_f = jnp.broadcast_to(dirs_enc_c[:, :1, :], (R, Sf, dirs_enc_c.shape[-1]))
-            raw_f = run("model_fine", samples_fine, de_f, Sf)
+            raw_f = _run("model_fine", params, samples_fine, dirs_unit,
+                         prefix=pose_feat)
             out_f = raw2outputs(raw_f, z_fine, dirs_fine, noise, cfg.white_background,
                                 rng_nf if train else None)
             result.update(rgb_fine=out_f.rgb, densities=out_f.density,
@@ -352,8 +374,7 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         origins = batch["ray_translation"]
         warped = samples + warp
         samples_dirs = warped - origins[:, None, :]
-        raw = _run("model_coarse", params,
-                       pos_enc.encode(warped), dir_enc.encode(_normalize(samples_dirs)))
+        raw = _run("model_coarse", params, warped, _normalize(samples_dirs))
         out = raw2outputs(raw, z_vals, samples_dirs, noise, cfg.white_background,
                           rng_nc if train else None)
         # fine pass is NotImplemented in the reference (vertex_sphere_pipeline.py:50)
@@ -410,8 +431,7 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
                                      cfg.warp_radius, cfg.warp_temperature)
         warped = samples + warp
         samples_dirs = warped - origins[:, None, :]
-        raw = _run("model_coarse", params,
-                       pos_enc.encode(warped), dir_enc.encode(_normalize(samples_dirs)))
+        raw = _run("model_coarse", params, warped, _normalize(samples_dirs))
         out = raw2outputs(raw, z_vals, samples_dirs, noise, cfg.white_background,
                           rng_nc if train else None)
         return {"rgb_coarse": out.rgb, "rgb_fine": out.rgb, "warp": warp,
@@ -434,14 +454,9 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         # the reference re-fed the raw 6890*3 block per sample
         emb = models["vertex_embedder"].apply(params["vertex_embedder"], verts_flat)
         dirs_exp = jnp.broadcast_to(dirs[:, None, :], samples.shape)
-        dirs_enc_c = dir_enc.encode(_normalize(dirs_exp))
+        dirs_unit = _normalize(dirs)[:, None, :]
 
-        def run(model_key, smp, de, Sx):
-            prefix = jnp.broadcast_to(emb[:, None, :], (R, Sx, emb.shape[-1]))
-            return _run(model_key, params, pos_enc.encode(smp), de,
-                        prefix=prefix)
-
-        raw = run("model_coarse", samples, dirs_enc_c, S)
+        raw = _run("model_coarse", params, samples, dirs_unit, prefix=emb)
         out = raw2outputs(raw, z_vals, dirs_exp, noise, cfg.white_background,
                           rng_nc if train else None)
         result = {"rgb_coarse": out.rgb, "densities": out.density,
@@ -453,8 +468,7 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
                                              cfg.number_fine_samples, cfg.use_pallas)
         Sf = samples_fine.shape[1]
         dirs_fine = jnp.broadcast_to(dirs[:, None, :], (R, Sf, 3))
-        de_f = jnp.broadcast_to(dirs_enc_c[:, :1, :], (R, Sf, dirs_enc_c.shape[-1]))
-        raw_f = run("model_fine", samples_fine, de_f, Sf)
+        raw_f = _run("model_fine", params, samples_fine, dirs_unit, prefix=emb)
         out_f = raw2outputs(raw_f, z_fine, dirs_fine, noise, cfg.white_background,
                             rng_nf if train else None)
         result.update(rgb_fine=out_f.rgb, densities=out_f.density,

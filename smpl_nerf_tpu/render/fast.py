@@ -39,9 +39,8 @@ def make_fast_renderer(pipeline: Pipeline, cap_fraction: float = 0.25):
             return pipeline(params, batch, None, False)["rgb_fine"]
         return render_fallback
 
-    run = _make_net_runner(cfg, pipeline.models)
+    run = _make_net_runner(cfg, pipeline.models, pipeline.encoders)
     pos_enc = pipeline.encoders["position"]
-    dir_enc = pipeline.encoders["direction"]
     pose_enc = pipeline.encoders["human_pose"]
     mt = cfg.model_type
     models = pipeline.models
@@ -81,23 +80,18 @@ def make_fast_renderer(pipeline: Pipeline, cap_fraction: float = 0.25):
 
         samples, z_vals = coarse_sampling(origins, dirs, cfg.near, cfg.far,
                                           cfg.number_coarse_samples, None)
-        S = samples.shape[1]
         dirs_exp = jnp.broadcast_to(dirs[:, None, :], samples.shape)
-        dirs_enc = dir_enc.encode(_normalize(dirs_exp))
+        dirs_unit = _normalize(dirs)[:, None, :]
         prefix = _prefix(batch)
         pose2 = _two_joint(batch) if mt == "smpl_nerf" else None
         if mt == "smpl_nerf":
             warp = _warp(params, samples, pose2)
             warped = samples + warp
             sdirs = warped - origins[:, None, :]
-            raw = run("model_coarse", params, pos_enc.encode(warped),
-                      dir_enc.encode(_normalize(sdirs)))
+            raw = run("model_coarse", params, warped, _normalize(sdirs))
             out = raw2outputs(raw, z_vals, sdirs, 0.0, cfg.white_background)
         else:
-            pfx = (jnp.broadcast_to(prefix[:, None, :], (R, S, prefix.shape[-1]))
-                   if prefix is not None else None)
-            raw = run("model_coarse", params, pos_enc.encode(samples), dirs_enc,
-                      prefix=pfx)
+            raw = run("model_coarse", params, samples, dirs_unit, prefix=prefix)
             out = raw2outputs(raw, z_vals, dirs_exp, 0.0, cfg.white_background)
 
         # top-K foreground rays by accumulated opacity
@@ -108,22 +102,17 @@ def make_fast_renderer(pipeline: Pipeline, cap_fraction: float = 0.25):
                                              cfg.number_fine_samples, cfg.use_pallas)
         Sf = samples_fine.shape[1]
         dirs_f = jnp.broadcast_to(take(dirs)[:, None, :], (K, Sf, 3))
-        de_f = jnp.broadcast_to(take(dirs_enc)[:, :1, :], (K, Sf, dirs_enc.shape[-1]))
         if mt == "smpl_nerf":
             warp_f = _warp(params, samples_fine, take(pose2))
             warped_f = samples_fine + warp_f
             fine_dirs = warped_f - take(origins)[:, None, :]
-            raw_f = run("model_fine", params, pos_enc.encode(warped_f),
-                        dir_enc.encode(_normalize(fine_dirs)))
+            raw_f = run("model_fine", params, warped_f, _normalize(fine_dirs))
             # fine pass integrates with the UNwarped per-ray direction
             # (smpl_nerf_pipeline.py:95-98)
             out_f = raw2outputs(raw_f, z_fine, dirs_f, 0.0, cfg.white_background)
         else:
-            pfx_f = (jnp.broadcast_to(take(prefix)[:, None, :],
-                                      (K, Sf, prefix.shape[-1]))
-                     if prefix is not None else None)
-            raw_f = run("model_fine", params, pos_enc.encode(samples_fine), de_f,
-                        prefix=pfx_f)
+            raw_f = run("model_fine", params, samples_fine, take(dirs_unit),
+                        prefix=None if prefix is None else take(prefix))
             out_f = raw2outputs(raw_f, z_fine, dirs_f, 0.0, cfg.white_background)
         return out.rgb.at[fg].set(out_f.rgb)
 

@@ -68,3 +68,41 @@ def test_silhouette_pose_fit_recovers_arm_angle():
         free_joints=np.array([41]))
     assert losses[-1] < losses[0]
     assert abs(pose[41] - 0.6) < 0.25
+
+
+def test_max_mixture_prior_synthetic_gmm(tmp_path):
+    """MaxMixturePrior on a synthetic SMPLify-layout gmm pkl vs a numpy oracle
+    (the real gmm_08.pkl is MPI-licensed; the LOADER + MATH are validated
+    hermetically, reference util/prior.py:36-231)."""
+    import pickle
+
+    import jax.numpy as jnp
+    from smpl_nerf_tpu.baselines.pose_priors import MaxMixturePrior
+
+    rng = np.random.RandomState(0)
+    K, D = 4, 69
+    means = rng.randn(K, D).astype(np.float64)
+    covars = np.stack([np.eye(D) * (0.5 + rng.rand()) +
+                       0.05 * np.outer(v := rng.randn(D), v) for _ in range(K)])
+    weights = rng.dirichlet(np.ones(K))
+    path = str(tmp_path / "gmm_04.pkl")
+    with open(path, "wb") as fh:
+        pickle.dump({"means": means, "covars": covars, "weights": weights}, fh)
+
+    prior = MaxMixturePrior.load(path)
+    assert prior is not None
+    assert MaxMixturePrior.load(str(tmp_path / "missing.pkl")) is None
+
+    pose = rng.randn(D).astype(np.float32) * 0.3
+    got = float(prior(jnp.asarray(pose)))
+    # oracle straight from the definition
+    want = np.inf
+    for k in range(K):
+        d = pose - means[k]
+        quad = 0.5 * d @ np.linalg.inv(covars[k]) @ d
+        c = 0.5 * np.linalg.slogdet(covars[k])[1] - np.log(weights[k])
+        want = min(want, quad + c)
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+    # batched poses broadcast
+    batch = rng.randn(5, D).astype(np.float32) * 0.3
+    assert prior(jnp.asarray(batch)).shape == (5,)
