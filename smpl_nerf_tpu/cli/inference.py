@@ -39,6 +39,11 @@ def inference_parser():
                         help="defaults to the run's trained model_type")
     parser.add_argument("--inf_save_dir", default="renders_test")
     parser.add_argument("--inf_batchsize", default=800, type=int)
+    parser.add_argument("--inf_fast", default=0, type=int,
+                        help="1: foreground-culled hierarchical renderer "
+                             "(render/fast.py) for the nerf/smpl_nerf/append "
+                             "families")
+    parser.add_argument("--inf_cap_fraction", default=0.25, type=float)
     return parser
 
 
@@ -107,7 +112,9 @@ def inference(argv=None):
     inf_args, _ = parser.parse_known_args(argv)
     args, extras, _ = setup_from_run_dir(inf_args.inf_run_dir, inf_args.inf_model_type)
     data = datasets.load_dataset(inf_args.inf_ground_truth_dir, args.model_type, args)
-    renders = render_dataset(args, extras, inf_args.inf_run_dir, data)
+    renders = render_dataset(args, extras, inf_args.inf_run_dir, data,
+                             fast=bool(int(inf_args.inf_fast)),
+                             cap_fraction=float(inf_args.inf_cap_fraction))
     truths = data.rgb.reshape(data.num_images, data.h, data.w, 3)
     scores = print_scores(renders, truths)
     save_rerenders(renders, inf_args.inf_save_dir)
