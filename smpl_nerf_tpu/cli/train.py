@@ -114,7 +114,7 @@ def train(argv: Optional[list] = None, log_dir: Optional[str] = None,
                                log_dir, writer)
 
     solver = Solver(pipeline, params, args, canonical_vertices,
-                    log_dir=log_dir, writer=writer)
+                    log_dir=log_dir, writer=writer, parser=parser)
     profile_dir = getattr(args, "profile_dir", None)
     if profile_dir:
         with jax.profiler.trace(profile_dir):

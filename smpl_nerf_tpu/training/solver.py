@@ -180,7 +180,8 @@ class Solver:
                  canonical_vertices: Optional[np.ndarray] = None,
                  frozen_nerf: bool = False,
                  mesh=None, log_dir: Optional[str] = None,
-                 writer=None):
+                 writer=None, parser=None):
+        self.parser = parser
         from smpl_nerf_tpu.parallel import multihost
         self.pipeline = pipeline
         self.args = args
@@ -452,13 +453,14 @@ class Solver:
                 callback(self, epoch)
             if self.log_dir and jax.process_index() == 0:
                 from smpl_nerf_tpu.training import checkpoints
-                checkpoints.save_run(self.log_dir, self.params, args)
+                checkpoints.save_run(self.log_dir, self.params, args, self.parser)
                 # keep the best-validation snapshot separately (the reference
                 # only keeps the last epoch; validation is noisy under sigma
                 # noise so the final epoch can regress)
                 if val_loss <= min(self.history["val_loss"]):
                     checkpoints.save_run(os.path.join(self.log_dir, "best"),
-                                         self.params, args)
+                                         self.params, args, self.parser,
+                                         getattr(args, "dataset_dir", None))
         return self.params
 
     def _log_rerenders(self, val_arrays, val_data, epoch: int):
