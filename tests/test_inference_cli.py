@@ -1,0 +1,48 @@
+"""CLI-level inference coverage: post-training GIF rendering + run-dir scoring.
+
+inference_gif mirrors the reference's post-training re-render of the whole
+train+val distribution in original creation order (train.py:183,203 ->
+inference.py:35-110)."""
+import os
+
+import numpy as np
+
+from smpl_nerf_tpu import config as config_mod
+from smpl_nerf_tpu.data import generate
+
+
+def test_train_cli_renders_inference_gif(tmp_path):
+    from smpl_nerf_tpu.cli.train import train
+
+    d = str(tmp_path / "ds")
+    parser = config_mod.dataset_config_parser()
+    gargs = parser.parse_args([
+        f"--save_dir={d}", "--dataset_type=smpl_nerf", "--resolution=10",
+        "--camera_path=circle", "--number_steps=4", "--train_val_ratio=0.75"])
+    generate.create_dataset(gargs, parser)
+
+    log_dir = str(tmp_path / "run")
+    train([
+        "--config=/dev/null", "--model_type=append_smpl_params",
+        f"--dataset_dir={d}", "--num_epochs=1", "--batchsize=64",
+        "--batchsize_val=64", "--number_coarse_samples=4", "--run_fine=0",
+        "--sigma_noise_std=0", "--netdepth=2", "--netwidth=16",
+        "--number_frequencies_postitional=2", "--number_frequencies_directional=1",
+        "--number_frequencies_pose=2", "--human_pose_encoding=1",
+        "--use_pallas=0", "--render_gif=1", "--number_validation_images=0",
+        "--steps_per_epoch=2"], log_dir=log_dir)
+
+    # the whole train+val distribution re-rendered in creation order
+    assert os.path.exists(os.path.join(log_dir, "walking.gif"))
+    pngs = [f for f in os.listdir(log_dir) if f.endswith(".png")]
+    # dataset_size = human_number_steps (10, frames_per_view default): the
+    # whole 7-train + 3-val distribution is re-rendered
+    assert len(pngs) == 10
+    # run dir is self-describing and re-loadable
+    assert os.path.exists(os.path.join(log_dir, "config.txt"))
+    from smpl_nerf_tpu.cli.inference import render_dataset, setup_from_run_dir
+    from smpl_nerf_tpu.data import datasets
+    args, extras, _ = setup_from_run_dir(log_dir)
+    data = datasets.load_dataset(os.path.join(d, "val"), args.model_type, args)
+    out = render_dataset(args, extras, log_dir, data)
+    assert out.shape == (3, 10, 10, 3) and np.isfinite(out).all()
