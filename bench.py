@@ -16,6 +16,10 @@ the ratio. Extra detail lands on stderr; stdout is exactly one JSON line.
 """
 from __future__ import annotations
 
+from smpl_nerf_tpu._platform import apply_platform_env
+
+apply_platform_env()  # honor JAX_PLATFORMS=cpu despite the axon plugin
+
 import json
 import sys
 import time

@@ -252,6 +252,17 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--scan_steps", type=int, default=0,
                         help=">1: run this many train steps per dispatch via lax.scan "
                              "(amortizes host->device dispatch latency)")
+    parser.add_argument("--grid_encoding", type=int, default=0,
+                        help="1: replace the frequency-encoded MLP with a "
+                             "multi-res dense-grid encoder + tiny head "
+                             "(instant-NGP-style, models/grid_nerf.py) — "
+                             "much faster convergence; beyond-reference")
+    parser.add_argument("--grid_levels", type=str, default="8,16,32,64")
+    parser.add_argument("--grid_features", type=int, default=4)
+    parser.add_argument("--grid_width", type=int, default=64)
+    parser.add_argument("--grid_depth", type=int, default=3)
+    parser.add_argument("--grid_bound", type=float, default=1.6,
+                        help="grid covers [-bound, bound]^3 around the origin")
     parser.add_argument("--check_nans", type=int, default=0,
                         help="1: enable jax_debug_nans (jit re-runs op-by-op at "
                              "the first NaN and points at the producing op) and "

@@ -136,17 +136,27 @@ def _make_net_runner(cfg, models, encoders):
         else:
             specs[key] = spec
 
+    def _raw_rows(samples, dirs_unit, prefix, R, S):
+        parts = []
+        if prefix is not None:
+            parts.append(jnp.broadcast_to(
+                prefix[:, None, :], (R, S, prefix.shape[-1])).reshape(R * S, -1))
+        parts += [samples.reshape(R * S, 3),
+                  jnp.broadcast_to(dirs_unit, (R, S, 3)).reshape(R * S, 3)]
+        return jnp.concatenate(parts, -1)
+
     def run(key, params, samples, dirs_unit, prefix=None):
         R, S = samples.shape[:2]
         parts = []
+        if getattr(models[key], "takes_raw", False):
+            # grid-encoded nets (models/grid_nerf.py) consume raw rows and
+            # encode internally (trainable feature grids)
+            raw = models[key].apply(params[key],
+                                    _raw_rows(samples, dirs_unit, prefix, R, S))
+            return raw.reshape(R, S, raw.shape[-1])
         if key in specs_v2:
-            if prefix is not None:
-                parts.append(jnp.broadcast_to(
-                    prefix[:, None, :], (R, S, prefix.shape[-1])).reshape(R * S, -1))
-            parts += [samples.reshape(R * S, 3),
-                      jnp.broadcast_to(dirs_unit, (R, S, 3)).reshape(R * S, 3)]
             raw = fused_v2.fused_apply_raw(specs_v2[key], params[key],
-                                           jnp.concatenate(parts, -1))
+                                           _raw_rows(samples, dirs_unit, prefix, R, S))
             return raw.reshape(R, S, raw.shape[-1])
         samples_enc = pos_enc.encode(samples)
         de = dir_enc.encode(dirs_unit)

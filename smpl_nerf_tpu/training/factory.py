@@ -74,16 +74,32 @@ def build_models_and_params(args, rng: jax.Array, extras: Optional[Dict[str, Any
         additional = int(extras.get("vertex_embedding_dim", 64))
 
     models: Dict[str, Any] = {}
-    models["model_coarse"] = cls(
-        n_layers=int(args.netdepth), width=int(args.netwidth),
-        positions_dim=pos_dim, directions_dim=dir_dim,
-        additional_input_dim=additional, skips=tuple(int(s) for s in args.skips),
-        use_directional_input=bool(int(args.use_directional_input)), dtype=dtype)
-    models["model_fine"] = cls(
-        n_layers=int(args.netdepth_fine), width=int(args.netwidth_fine),
-        positions_dim=pos_dim, directions_dim=dir_dim,
-        additional_input_dim=additional, skips=tuple(int(s) for s in args.skips_fine),
-        use_directional_input=bool(int(args.use_directional_input)), dtype=dtype)
+    if int(getattr(args, "grid_encoding", 0) or 0):
+        # beyond-reference: multi-res dense-grid encoder + tiny MLP head
+        # (models/grid_nerf.py) — same output contract as RenderRayNet
+        from smpl_nerf_tpu.models.grid_nerf import GridNerf
+        levels = tuple(int(r) for r in
+                       str(getattr(args, "grid_levels", "8,16,32,64")).split(","))
+        grid_kw = dict(
+            levels=levels, features=int(getattr(args, "grid_features", 4)),
+            width=int(getattr(args, "grid_width", 64)),
+            n_layers=int(getattr(args, "grid_depth", 3)),
+            dir_freqs=int(args.number_frequencies_directional),
+            additional_input_dim=additional,
+            bound=float(getattr(args, "grid_bound", 1.6)), dtype=dtype)
+        models["model_coarse"] = GridNerf(**grid_kw)
+        models["model_fine"] = GridNerf(**grid_kw)
+    else:
+        models["model_coarse"] = cls(
+            n_layers=int(args.netdepth), width=int(args.netwidth),
+            positions_dim=pos_dim, directions_dim=dir_dim,
+            additional_input_dim=additional, skips=tuple(int(s) for s in args.skips),
+            use_directional_input=bool(int(args.use_directional_input)), dtype=dtype)
+        models["model_fine"] = cls(
+            n_layers=int(args.netdepth_fine), width=int(args.netwidth_fine),
+            positions_dim=pos_dim, directions_dim=dir_dim,
+            additional_input_dim=additional, skips=tuple(int(s) for s in args.skips_fine),
+            use_directional_input=bool(int(args.use_directional_input)), dtype=dtype)
 
     if model_type in ("smpl_nerf", "warp"):
         warp_pos_dim = (encoders["position"].output_dim
@@ -114,7 +130,10 @@ def build_models_and_params(args, rng: jax.Array, extras: Optional[Dict[str, Any
     keys = jax.random.split(rng, len(models) + 1)
     key_iter = iter(keys)
 
-    mlp_in = pos_dim + additional + dir_dim
+    if getattr(models["model_coarse"], "takes_raw", False):
+        mlp_in = additional + 6  # raw rows: [prefix || xyz || unit dir]
+    else:
+        mlp_in = pos_dim + additional + dir_dim
     dummy = jnp.zeros((2, mlp_in), jnp.float32)
     params["model_coarse"] = models["model_coarse"].init(next(key_iter), dummy)
     params["model_fine"] = models["model_fine"].init(next(key_iter), dummy)
