@@ -65,7 +65,8 @@ def setup_from_run_dir(run_dir: str, model_type: Optional[str] = None):
 
 
 def render_dataset(args, extras, run_dir: str, data, fast: bool = False,
-                   cap_fraction: float = 0.25) -> np.ndarray:
+                   cap_fraction: float = 0.25,
+                   batch_size: Optional[int] = None) -> np.ndarray:
     """Render every image of `data` through the run's weights -> [N, h, w, 3].
 
     fast=True uses the foreground-culled hierarchical renderer (render/fast.py)
@@ -87,7 +88,8 @@ def render_dataset(args, extras, run_dir: str, data, fast: bool = False,
     if fast:
         from smpl_nerf_tpu.render.fast import make_fast_renderer
         render_fn = jax.jit(make_fast_renderer(pipeline, cap_fraction))
-    rgb = solver.render_rays_batched(data, render_fn=render_fn)
+    rgb = solver.render_rays_batched(data, batch_size=batch_size,
+                                     render_fn=render_fn)
     return rgb.reshape(data.num_images, data.h, data.w, 3)
 
 
@@ -114,7 +116,8 @@ def inference(argv=None):
     data = datasets.load_dataset(inf_args.inf_ground_truth_dir, args.model_type, args)
     renders = render_dataset(args, extras, inf_args.inf_run_dir, data,
                              fast=bool(int(inf_args.inf_fast)),
-                             cap_fraction=float(inf_args.inf_cap_fraction))
+                             cap_fraction=float(inf_args.inf_cap_fraction),
+                             batch_size=int(inf_args.inf_batchsize))
     truths = data.rgb.reshape(data.num_images, data.h, data.w, 3)
     scores = print_scores(renders, truths)
     save_rerenders(renders, inf_args.inf_save_dir)

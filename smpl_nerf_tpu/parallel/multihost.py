@@ -40,12 +40,13 @@ def local_row_range(sharding: NamedSharding, n_rows: int) -> Tuple[int, int]:
     devices' blocks, which is contiguous for standard mesh layouts.
     """
     idx_map = sharding.addressable_devices_indices_map((n_rows,))
-    spans = [(s[0].start or 0, n_rows if s[0].stop is None else s[0].stop)
-             for s in idx_map.values()]
-    lo = min(s[0] for s in spans)
-    hi = max(s[1] for s in spans)
-    if sorted(spans) != [(a, b) for a, b in sorted(spans)] or \
-            sum(b - a for a, b in spans) != hi - lo:
+    # devices replicating rows along the 'model' axis yield DUPLICATE spans —
+    # dedupe before checking tiling (a 2-D data x model mesh is the common case)
+    spans = sorted({(s[0].start or 0, n_rows if s[0].stop is None else s[0].stop)
+                    for s in idx_map.values()})
+    lo, hi = spans[0][0], spans[-1][1]
+    # unique spans must tile [lo, hi) exactly (gaps sum short, overlaps long)
+    if sum(b - a for a, b in spans) != hi - lo:
         raise ValueError(f"non-contiguous local rows: {spans}")
     return lo, hi
 

@@ -100,6 +100,32 @@ def _normalize(v: jnp.ndarray) -> jnp.ndarray:
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
 
+def two_joint_pose(cfg: "RenderConfig", batch) -> jnp.ndarray:
+    """goal_pose joints stacked in [38, 41] order — smpl_nerf_pipeline.py:28.
+
+    cfg.human_joints is (41, 38) by default (config flag --human_joints); the
+    reference hardcodes the stack order [38, 41] regardless — we follow the
+    configured joints but keep the reference's ascending stack order. Shared
+    by the training pipelines and the fast renderer (render/fast.py).
+    """
+    gp = batch["human_pose"]
+    joints = sorted(cfg.human_joints)
+    return jnp.stack([gp[:, j] for j in joints], -1)
+
+
+def warp_field_inputs(cfg: "RenderConfig", encoders, samples, pose2,
+                      R: int, S: int) -> jnp.ndarray:
+    """[R*S, pos_feat+pose_feat] rows for the warp-field MLP (smpl_nerf
+    family; reference smpl_nerf_pipeline.py:37-49). Shared with render/fast."""
+    pos_enc = encoders["position"]
+    pose_enc = encoders["human_pose"]
+    pose_feat = pose_enc.encode(pose2) if cfg.human_pose_encoding else pose2
+    pose_exp = jnp.broadcast_to(pose_feat[:, None, :], (R, S, pose_feat.shape[-1]))
+    sample_feat = pos_enc.encode(samples) if cfg.human_pose_encoding else samples
+    return jnp.concatenate([sample_feat.reshape(R * S, -1),
+                            pose_exp.reshape(R * S, -1)], -1)
+
+
 def _make_net_runner(cfg, models, encoders):
     """Returns run(key, params, samples, dirs_unit, prefix) -> raw [R,S,4].
 
@@ -147,7 +173,6 @@ def _make_net_runner(cfg, models, encoders):
 
     def run(key, params, samples, dirs_unit, prefix=None):
         R, S = samples.shape[:2]
-        parts = []
         if getattr(models[key], "takes_raw", False):
             # grid-encoded nets (models/grid_nerf.py) consume raw rows and
             # encode internally (trainable feature grids)
@@ -161,6 +186,7 @@ def _make_net_runner(cfg, models, encoders):
         samples_enc = pos_enc.encode(samples)
         de = dir_enc.encode(dirs_unit)
         de = jnp.broadcast_to(de, (R, S, de.shape[-1]))
+        parts = []
         if prefix is not None:
             parts.append(jnp.broadcast_to(
                 prefix[:, None, :], (R, S, prefix.shape[-1])).reshape(R * S, -1))
@@ -252,22 +278,10 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
 
     # ------------------------------------------------------------ smpl_nerf
     def _two_joint_pose(batch):
-        """goal_pose joints stacked in [38, 41] order — smpl_nerf_pipeline.py:28.
-
-        cfg.human_joints is (41, 38) by default (config flag --human_joints);
-        the reference hardcodes the stack order [38, 41] regardless — we follow
-        the configured joints but keep the reference's ascending stack order.
-        """
-        gp = batch["human_pose"]
-        joints = sorted(cfg.human_joints)
-        return jnp.stack([gp[:, j] for j in joints], -1)
+        return two_joint_pose(cfg, batch)
 
     def _warp_inputs(samples, pose2, R, S):
-        pose_feat = pose_enc.encode(pose2) if cfg.human_pose_encoding else pose2
-        pose_exp = jnp.broadcast_to(pose_feat[:, None, :], (R, S, pose_feat.shape[-1]))
-        sample_feat = pos_enc.encode(samples) if cfg.human_pose_encoding else samples
-        return jnp.concatenate([sample_feat.reshape(R * S, -1),
-                                pose_exp.reshape(R * S, -1)], -1)
+        return warp_field_inputs(cfg, encoders, samples, pose2, R, S)
 
     def smpl_nerf_fn(params, batch, rng, train):
         rng_j, rng_nc, rng_nf = _split_rng(rng, 3)

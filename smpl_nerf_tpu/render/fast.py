@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from smpl_nerf_tpu.core.integrate import raw2outputs
 from smpl_nerf_tpu.core.sampling import coarse_sampling, fine_sampling
-from smpl_nerf_tpu.pipelines import Pipeline, _make_net_runner, _normalize
+from smpl_nerf_tpu.pipelines import (Pipeline, _make_net_runner, _normalize,
+                                     two_joint_pose, warp_field_inputs)
 
 _FAMILIES = ("nerf", "original_nerf", "smpl_nerf", "append_to_nerf",
              "append_smpl_params")
@@ -40,15 +41,12 @@ def make_fast_renderer(pipeline: Pipeline, cap_fraction: float = 0.25):
         return render_fallback
 
     run = _make_net_runner(cfg, pipeline.models, pipeline.encoders)
-    pos_enc = pipeline.encoders["position"]
     pose_enc = pipeline.encoders["human_pose"]
     mt = cfg.model_type
     models = pipeline.models
 
     def _two_joint(batch):
-        # smpl_nerf_pipeline.py:28 contract (see pipelines._two_joint_pose)
-        joints = sorted(cfg.human_joints)
-        return jnp.stack([batch["human_pose"][:, j] for j in joints], -1)
+        return two_joint_pose(cfg, batch)
 
     def _prefix(batch):
         """Per-ray conditioning prefix for the append families, else None."""
@@ -63,12 +61,7 @@ def make_fast_renderer(pipeline: Pipeline, cap_fraction: float = 0.25):
     def _warp(params, samples, pose2):
         """smpl_nerf warp-field evaluation on [R, S, 3] samples."""
         R, S = samples.shape[:2]
-        pose_feat = pose_enc.encode(pose2) if cfg.human_pose_encoding else pose2
-        pose_exp = jnp.broadcast_to(pose_feat[:, None, :],
-                                    (R, S, pose_feat.shape[-1]))
-        sample_feat = pos_enc.encode(samples) if cfg.human_pose_encoding else samples
-        inputs = jnp.concatenate([sample_feat.reshape(R * S, -1),
-                                  pose_exp.reshape(R * S, -1)], -1)
+        inputs = warp_field_inputs(cfg, pipeline.encoders, samples, pose2, R, S)
         return models["model_warp_field"].apply(
             params["model_warp_field"], inputs).reshape(R, S, 3)
 

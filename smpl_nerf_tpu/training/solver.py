@@ -40,6 +40,12 @@ def mse2psnr(mse: float) -> float:
     return -10.0 * np.log10(mse)
 
 
+# families whose pipelines run SMPL LBS on the batch's unique image set when
+# cfg.images_per_batch > 0 (pipelines._goal_verts_table)
+DYNAMIC_FAMILIES = ("dummy_dynamic", "image_wise_dynamic",
+                    "append_vertex_locations_to_nerf")
+
+
 def nan_report(tree, name: str = "params") -> str:
     """Per-leaf NaN/Inf counts — the reference print_number_nans (utils.py:68-69)
     generalized to a whole pytree. Empty string when everything is finite."""
@@ -193,6 +199,10 @@ class Solver:
         self.optimizer = make_optimizer(params, args, args.model_type, frozen_nerf)
         self.tensor_parallel = (int(getattr(args, "tensor_parallel", 0) or 0) > 0
                                 and int(self.mesh.shape["model"]) > 1)
+        if self.tensor_parallel and self.multihost:
+            print("WARNING: --tensor_parallel is not supported together with "
+                  "--multihost yet; params stay replicated (pure DP).")
+            self.tensor_parallel = False
         if self.multihost:
             # per-process replication: device_put cannot target non-addressable
             # devices, so replicate via make_array_from_callback
@@ -356,10 +366,13 @@ class Solver:
         n_img = train_data.num_images
         hw = n // max(1, n_img)
         ipb = ipb if 0 < ipb < n_img else 0
-        if ipb and int(args.batchsize_val) > max(1, (ipb - 1)) * hw:
+        bs_val = mesh_mod.pad_to_multiple(int(args.batchsize_val), self.n_data)
+        if (ipb and model_type in DYNAMIC_FAMILIES
+                and bs_val > max(1, (ipb - 1)) * hw):
             # sequential val batches must fit inside the size-K unique set too
+            # (the exact per-batch guard in _validate also catches stride cases)
             raise ValueError(
-                f"images_per_batch={ipb}: batchsize_val={args.batchsize_val} can "
+                f"images_per_batch={ipb}: batchsize_val={bs_val} (padded) can "
                 f"span more than {ipb} images ({hw} rays/image); lower "
                 "batchsize_val or raise images_per_batch")
         fg_mask = None
@@ -516,6 +529,23 @@ class Solver:
         if self.log_dir and densities:
             log_mod.vedo_data(self.log_dir, densities[0], samples[0], epoch=epoch)
 
+    def _check_batch_images(self, idx: np.ndarray, image_indices: np.ndarray):
+        """Loud guard for images_per_batch: the in-step size-K jnp.unique would
+        SILENTLY map overflow rays to the wrong image's SMPL vertices, so any
+        eval/render batch spanning more than K images must fail here instead."""
+        K = int(self.pipeline.cfg.images_per_batch or 0)
+        if not K or self.pipeline.cfg.model_type not in DYNAMIC_FAMILIES:
+            return
+        n_img = int(image_indices.max()) + 1
+        if K >= n_img:
+            return
+        distinct = len(np.unique(image_indices[idx]))
+        if distinct > K:
+            raise ValueError(
+                f"images_per_batch={K}: an evaluation batch spans {distinct} "
+                "distinct images; lower batchsize_val / adjust val_rays or "
+                "raise images_per_batch")
+
     def _validate(self, val_arrays, n_val: int) -> float:
         """Masked validation loss over the FULL val set (or a strided subset).
 
@@ -535,12 +565,16 @@ class Solver:
         else:
             all_idx = np.arange(n_val, dtype=np.int64)
         bs = mesh_mod.pad_to_multiple(int(self.args.batchsize_val), self.n_data)
+        img_idx_np = (np.asarray(val_arrays["image_indices"])
+                      if self.pipeline.cfg.images_per_batch else None)
         total, weight = 0.0, 0.0
         for lo in range(0, len(all_idx), bs):
             idx = all_idx[lo:lo + bs]
             n_real = len(idx)
             if n_real < bs:
                 idx = np.concatenate([idx, np.full(bs - n_real, idx[-1])])
+            if img_idx_np is not None:
+                self._check_batch_images(idx, img_idx_np)
             mask = np.zeros(bs, np.float32)
             mask[:n_real] = 1.0
             batch = self._gather_batch(val_arrays, idx)
@@ -564,11 +598,19 @@ class Solver:
             int(self.args.batchsize_val), self.n_data)
         bs = mesh_mod.pad_to_multiple(bs, self.n_data)
         out = np.zeros((n, 3), np.float32)
+        img_idx_np = (np.asarray(arrays["image_indices"])
+                      if self.pipeline.cfg.images_per_batch
+                      and "image_indices" in arrays else None)
         for lo in range(0, n, bs):
             idx = np.arange(lo, min(lo + bs, n))
             pad = bs - len(idx)
             if pad:
-                idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+                # pad with the LAST ray, not ray 0: ray-0 duplicates would
+                # compete in the fast renderer's top-K opacity cull and can
+                # inject image 0 into a dynamic-family batch
+                idx = np.concatenate([idx, np.full(pad, idx[-1])])
+            if img_idx_np is not None:
+                self._check_batch_images(idx, img_idx_np)
             batch = self._gather_batch(arrays, idx)
             if render_fn is not None:
                 rgb_fine = render_fn(self.params, batch)

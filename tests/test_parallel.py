@@ -156,3 +156,13 @@ def test_data_parallel_train_step_matches_single_device(rng, devices):
     for a, b in zip(jax.tree_util.tree_leaves(g_single),
                     jax.tree_util.tree_leaves(g_sharded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_local_row_range_dedupes_model_axis_replicas(devices):
+    """P('data') on a 2-D (data, model) mesh: model-axis devices replicate the
+    same row spans; local_row_range must dedupe them, not call them overlap."""
+    from smpl_nerf_tpu.parallel import multihost
+    mesh = mesh_mod.make_mesh("4,2")
+    sh = mesh_mod.data_sharding(mesh)
+    lo, hi = multihost.local_row_range(sh, 16)
+    assert (lo, hi) == (0, 16)  # single process owns everything

@@ -163,3 +163,29 @@ def test_check_nans_raises_with_report(ds):
     solver = Solver(pipeline, params, args)
     with pytest.raises(RuntimeError, match="non-finite train loss"):
         solver.train(train_data, train_data)
+
+
+def test_images_per_batch_eval_overflow_raises(ds):
+    """A strided --val_rays batch spanning more than K images must fail LOUDLY
+    (the in-step size-K unique set would silently use the wrong vertices)."""
+    args, _ = _args(ds, model_type="dummy_dynamic", images_per_batch=2,
+                    batchsize_val=128, val_rays=128, warp_radius=0.05)
+    args.model_type = "dummy_dynamic"
+    args._smpl_model = smpl_mod.procedural_human(rings=3, segments=6)
+    train_data = datasets.load_dataset(os.path.join(ds, "train"),
+                                       "dummy_dynamic", args)
+    val_data = datasets.load_dataset(os.path.join(ds, "val"),
+                                     "dummy_dynamic", args)
+    extras = {"num_images": train_data.num_images, "betas": train_data.betas,
+              "goal_poses": train_data.human_poses,
+              "smpl_model": args._smpl_model,
+              "num_vertices": args._smpl_model.num_vertices}
+    models, params, encoders = build_models_and_params(
+        args, jax.random.PRNGKey(0), extras)
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders,
+                              extras)
+    solver = Solver(pipeline, params, args)
+    val_arrays = solver._device_arrays(val_data, "dummy_dynamic")
+    # strided indices hit every image: 3 val images > K=2 -> loud failure
+    with pytest.raises(ValueError, match="distinct images"):
+        solver._validate(val_arrays, val_data.num_rays)
