@@ -101,3 +101,29 @@ def test_grid_nerf_append_family_prefix(tmp_path, rng):
     out = pipeline(params, batch, None, False)
     assert out["rgb_coarse"].shape == (n, 3)
     assert np.isfinite(np.asarray(out["rgb_coarse"])).all()
+
+
+def test_grid_nerf_fast_render_matches_full(rng):
+    """The foreground-culled renderer composes with grid encoding (cap=1.0)."""
+    from smpl_nerf_tpu import config as config_mod
+    from smpl_nerf_tpu.pipelines import RenderConfig, build_pipeline
+    from smpl_nerf_tpu.render.fast import make_fast_renderer
+    from smpl_nerf_tpu.training.factory import build_models_and_params
+
+    parser = config_mod.config_parser()
+    args = parser.parse_args([
+        "--config=/dev/null", "--model_type=nerf", "--grid_encoding=1",
+        "--grid_levels=4,8", "--grid_features=2", "--grid_width=16",
+        "--number_coarse_samples=8", "--number_fine_samples=8", "--run_fine=1",
+        "--sigma_noise_std=0", "--use_pallas=0"])
+    models, params, encoders = build_models_and_params(args, jax.random.PRNGKey(0), {})
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+    n = 32
+    batch = {"ray_translation": jnp.asarray(np.tile([[0, 0, 2.4]], (n, 1)).astype(np.float32)),
+             "ray_direction": jnp.asarray(
+                 np.concatenate([rng.uniform(-0.3, 0.3, (n, 2)),
+                                 -np.ones((n, 1))], -1).astype(np.float32)),
+             "rgb": jnp.zeros((n, 3))}
+    full = np.asarray(pipeline(params, batch, None, False)["rgb_fine"])
+    fast = np.asarray(make_fast_renderer(pipeline, cap_fraction=1.0)(params, batch))
+    np.testing.assert_allclose(fast, full, atol=1e-5)
