@@ -66,12 +66,21 @@ def make_global_batch(batch_np: Dict[str, np.ndarray], mesh) -> dict:
     return out
 
 
-def put_replicated(tree, mesh):
-    """Replicate a host pytree across every device of a (multi-host) mesh."""
-    sh = mesh_mod.replicate_sharding(mesh)
+def put_tree(tree, shardings):
+    """Place a host pytree on a (multi-host) mesh with per-leaf shardings.
 
-    def put(x):
+    jax.make_array_from_callback materializes exactly the shards addressable
+    by this process, so the same code replicates params on a 1-D mesh and
+    width-shards them on a data x model mesh across hosts.
+    """
+    def put(x, sh):
         x = np.asarray(x)
         return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
 
-    return jax.tree.map(put, tree)
+    return jax.tree.map(put, tree, shardings)
+
+
+def put_replicated(tree, mesh):
+    """Replicate a host pytree across every device of a (multi-host) mesh."""
+    sh = mesh_mod.replicate_sharding(mesh)
+    return put_tree(tree, jax.tree.map(lambda _: sh, tree))

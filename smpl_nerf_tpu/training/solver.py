@@ -199,16 +199,19 @@ class Solver:
         self.optimizer = make_optimizer(params, args, args.model_type, frozen_nerf)
         self.tensor_parallel = (int(getattr(args, "tensor_parallel", 0) or 0) > 0
                                 and int(self.mesh.shape["model"]) > 1)
-        if self.tensor_parallel and self.multihost:
-            print("WARNING: --tensor_parallel is not supported together with "
-                  "--multihost yet; params stay replicated (pure DP).")
-            self.tensor_parallel = False
         if self.multihost:
-            # per-process replication: device_put cannot target non-addressable
-            # devices, so replicate via make_array_from_callback
-            self.params = multihost.put_replicated(params, self.mesh)
-            self.opt_state = multihost.put_replicated(
-                jax.device_get(self.optimizer.init(params)), self.mesh)
+            # per-process placement via make_array_from_callback (device_put
+            # cannot target non-addressable devices): replicated by default,
+            # width-sharded when tensor_parallel is on
+            if self.tensor_parallel:
+                from smpl_nerf_tpu.parallel import tp
+                self.params = multihost.put_tree(
+                    params, tp.tp_param_shardings(params, self.mesh))
+                self.opt_state = self.optimizer.init(self.params)
+            else:
+                self.params = multihost.put_replicated(params, self.mesh)
+                self.opt_state = multihost.put_replicated(
+                    jax.device_get(self.optimizer.init(params)), self.mesh)
         elif self.tensor_parallel:
             # width-shard the MLPs over the 'model' axis; optimizer state
             # inherits the kernel shardings from zeros_like

@@ -9,14 +9,17 @@ single-process 8-device run of the same seeded problem.
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+if __name__ == "__main__":
+    # only when spawned as a worker process — importing this module from the
+    # test session must NOT clobber conftest's 8-virtual-device setup
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
 
-def make_data_and_args():
+def make_data_and_args(extra_argv=()):
     import numpy as np
     from smpl_nerf_tpu import config as config_mod
     from smpl_nerf_tpu.core import cameras
@@ -32,16 +35,16 @@ def make_data_and_args():
         "--batchsize=32", "--batchsize_val=32", "--number_coarse_samples=4",
         "--run_fine=0", "--sigma_noise_std=0", "--netdepth=2", "--netwidth=16",
         "--number_frequencies_postitional=2", "--number_frequencies_directional=1",
-        "--use_pallas=0", "--steps_per_epoch=3"])
+        "--use_pallas=0", "--steps_per_epoch=3", *extra_argv])
     return data, args
 
 
-def run_training():
+def run_training(extra_argv=()):
     from smpl_nerf_tpu.pipelines import RenderConfig, build_pipeline
     from smpl_nerf_tpu.training.factory import build_models_and_params
     from smpl_nerf_tpu.training.solver import Solver
 
-    data, args = make_data_and_args()
+    data, args = make_data_and_args(extra_argv)
     models, params, encoders = build_models_and_params(args, jax.random.PRNGKey(0), {})
     pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
     solver = Solver(pipeline, params, args)
@@ -73,6 +76,13 @@ def main():
     losses = ",".join(f"{l:.8f}" for l in history["train_loss"])
     vals = ",".join(f"{l:.8f}" for l in history["val_loss"])
     print(f"LOSSES process={process_id} train={losses} val={vals}")
+
+    # multi-host TENSOR PARALLEL: 4x2 mesh spanning both processes, MLP widths
+    # sharded over 'model' via make_array_from_callback placement
+    tp_argv = ("--mesh_shape=4,2", "--tensor_parallel=1")
+    history_tp = run_training(tp_argv)
+    losses_tp = ",".join(f"{l:.8f}" for l in history_tp["train_loss"])
+    print(f"TP_LOSSES process={process_id} train={losses_tp}")
 
 
 if __name__ == "__main__":

@@ -58,8 +58,19 @@ def test_two_process_training_matches_single_process():
     np.testing.assert_allclose(t0, t1, rtol=0, atol=0)
     np.testing.assert_allclose(v0, v1, rtol=0, atol=0)
 
+    def tp_losses(out):
+        m = re.search(r"TP_LOSSES process=\d train=([\d.,]+)", out)
+        assert m, out
+        return np.array([float(x) for x in m.group(1).split(",")])
+
+    tp0, tp1 = tp_losses(outs[0]), tp_losses(outs[1])
+    np.testing.assert_allclose(tp0, tp1, rtol=0, atol=0)
+
     # single-process ground truth (this process: 8 virtual devices, conftest)
     from tests.multihost_worker import run_training
     history = run_training()
     np.testing.assert_allclose(t0, np.array(history["train_loss"]), rtol=2e-5)
     np.testing.assert_allclose(v0, np.array(history["val_loss"]), rtol=2e-5)
+    # multi-host TP trains the same problem to the same losses
+    history_tp = run_training(("--mesh_shape=4,2", "--tensor_parallel=1"))
+    np.testing.assert_allclose(tp0, np.array(history_tp["train_loss"]), rtol=2e-4)
