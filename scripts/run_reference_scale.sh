@@ -7,6 +7,7 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_c
 DS=${1:-data/walking_256}
 
 if [ ! -d "$DS/train" ]; then
+  mkdir -p data
   # synthetic AMASS-format walking cycle (real AMASS data is licensed)
   python tools/make_walking_sequence.py --out data/walking_24.npz --frames 24 --cycles 1
   # 12 circle viewpoints x 24 walking frames = 288 images (230 train / 58 val)
