@@ -64,13 +64,14 @@ def setup_from_run_dir(run_dir: str, model_type: Optional[str] = None):
     return args, extras, parser
 
 
-def render_dataset(args, extras, run_dir: str, data, fast: bool = False,
+def render_dataset(args, extras, run_dir: str, data, fast: int = 0,
                    cap_fraction: float = 0.25,
                    batch_size: Optional[int] = None) -> np.ndarray:
     """Render every image of `data` through the run's weights -> [N, h, w, 3].
 
-    fast=True uses the foreground-culled hierarchical renderer (render/fast.py)
-    for the nerf / smpl_nerf / append families — the production novel-view path.
+    fast=1 uses the foreground-culled hierarchical renderer (render/fast.py),
+    fast=2 the occupancy-grid culled renderer (grid probes replace the all-rays
+    coarse scoring pass) — both for the nerf / smpl_nerf / append families.
     """
     extras = dict(extras)
     extras["num_images"] = data.num_images
@@ -85,7 +86,10 @@ def render_dataset(args, extras, run_dir: str, data, fast: bool = False,
     pipeline = build_pipeline(cfg, models, encoders, extras)
     solver = Solver(pipeline, params, args)
     render_fn = None
-    if fast:
+    if int(fast) >= 2:
+        from smpl_nerf_tpu.render.fast import make_occupancy_renderer
+        render_fn = jax.jit(make_occupancy_renderer(pipeline, cap_fraction))
+    elif fast:
         from smpl_nerf_tpu.render.fast import make_fast_renderer
         render_fn = jax.jit(make_fast_renderer(pipeline, cap_fraction))
     rgb = solver.render_rays_batched(data, batch_size=batch_size,
@@ -115,7 +119,7 @@ def inference(argv=None):
     args, extras, _ = setup_from_run_dir(inf_args.inf_run_dir, inf_args.inf_model_type)
     data = datasets.load_dataset(inf_args.inf_ground_truth_dir, args.model_type, args)
     renders = render_dataset(args, extras, inf_args.inf_run_dir, data,
-                             fast=bool(int(inf_args.inf_fast)),
+                             fast=int(inf_args.inf_fast),
                              cap_fraction=float(inf_args.inf_cap_fraction),
                              batch_size=int(inf_args.inf_batchsize))
     truths = data.rgb.reshape(data.num_images, data.h, data.w, 3)

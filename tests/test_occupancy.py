@@ -1,0 +1,122 @@
+"""Occupancy-grid culling: grid math vs analytic densities + renderer parity."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from smpl_nerf_tpu.ops import occupancy
+from tests.test_fast_render import _batch, _make
+
+AABB = ((-2.0, -2.0, -2.0), (2.0, 2.0, 2.0))
+
+
+def _sphere_density(r=0.5):
+    def fn(pts):
+        return jnp.where(jnp.linalg.norm(pts, axis=-1) < r, 10.0, 0.0)
+    return fn
+
+
+def test_build_grid_matches_analytic_sphere():
+    grid = occupancy.build_density_grid(_sphere_density(), AABB, 32,
+                                        dilate_voxels=0)
+    pts = occupancy.lattice(AABB, 32)
+    inside = np.linalg.norm(np.asarray(pts), axis=-1) < 0.5
+    g = np.asarray(grid)
+    assert np.all(g[inside] == 10.0)
+    assert np.all(g[~inside] == 0.0)
+
+
+def test_dilation_grows_occupancy_one_voxel():
+    grid0 = occupancy.build_density_grid(_sphere_density(), AABB, 32,
+                                         dilate_voxels=0)
+    grid1 = occupancy.build_density_grid(_sphere_density(), AABB, 32,
+                                         dilate_voxels=1)
+    assert float(grid1.sum()) > float(grid0.sum())
+    # dilation only ever adds occupancy
+    assert np.all(np.asarray(grid1) >= np.asarray(grid0))
+
+
+def test_trilinear_interpolates_and_zeroes_outside():
+    grid = jnp.ones((8, 8, 8))
+    inside = occupancy.trilinear(grid, AABB, jnp.asarray([[0.0, 0.0, 0.0]]))
+    outside = occupancy.trilinear(grid, AABB, jnp.asarray([[5.0, 0.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(inside), [1.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outside), [0.0])
+
+
+def test_ray_scores_separate_hit_from_miss():
+    grid = occupancy.build_density_grid(_sphere_density(), AABB, 64)
+    origins = jnp.asarray([[0.0, 0.0, 2.0], [0.0, 0.0, 2.0]], jnp.float32)
+    # first ray goes through the origin (hits the r=0.5 sphere), second points
+    # far off to the side (misses everything)
+    dirs = jnp.asarray([[0.0, 0.0, -1.0], [1.5, 1.5, -1.0]], jnp.float32)
+    scores = np.asarray(occupancy.ray_scores(grid, AABB, origins, dirs,
+                                             near=1.0, far=4.0))
+    assert scores[0] > 1.0
+    assert scores[1] == 0.0
+
+
+def _occ_renderer(pipeline, **kw):
+    from smpl_nerf_tpu.render.fast import make_occupancy_renderer
+    kw.setdefault("grid_resolution", 16)
+    kw.setdefault("aabb", AABB)
+    return make_occupancy_renderer(pipeline, **kw)
+
+
+def test_occupancy_render_cap1_matches_full_nerf(rng):
+    pipeline, params = _make()
+    batch = _batch(rng)
+    full = np.asarray(pipeline(params, batch, None, False)["rgb_fine"])
+    occ = np.asarray(_occ_renderer(pipeline, cap_fraction=1.0)(params, batch))
+    np.testing.assert_allclose(occ, full, atol=1e-5)
+
+
+def test_occupancy_render_cap1_matches_full_smpl_nerf(rng):
+    pipeline, params = _make(model_type="smpl_nerf", human_pose_encoding=1)
+    batch = _batch(rng, with_pose=True)
+    full = np.asarray(pipeline(params, batch, None, False)["rgb_fine"])
+    occ = np.asarray(_occ_renderer(pipeline, cap_fraction=1.0)(params, batch))
+    np.testing.assert_allclose(occ, full, atol=1e-5)
+
+
+def test_occupancy_render_cap1_matches_full_append(rng):
+    pipeline, params = _make(model_type="append_smpl_params",
+                             human_pose_encoding=1)
+    batch = _batch(rng, with_pose=True)
+    full = np.asarray(pipeline(params, batch, None, False)["rgb_fine"])
+    occ = np.asarray(_occ_renderer(pipeline, cap_fraction=1.0)(params, batch))
+    np.testing.assert_allclose(occ, full, atol=1e-5)
+
+
+def test_occupancy_render_reuses_prebuilt_grid(rng):
+    pipeline, params = _make()
+    batch = _batch(rng)
+    render = _occ_renderer(pipeline, cap_fraction=1.0)
+    grid = render.build_grid(params, batch)
+    with_grid = np.asarray(render(params, batch, grid))
+    without = np.asarray(render(params, batch))
+    np.testing.assert_allclose(with_grid, without, atol=1e-6)
+
+
+def test_occupancy_render_culls_to_background(rng):
+    """With a zero-density field every ray is culled to the background color."""
+    pipeline, params = _make(white_background=1)
+
+    # zero out the sigma heads -> relu(0) density everywhere -> empty grid
+    def zero_sigma(path, leaf):
+        return jnp.zeros_like(leaf) if "sigma_out_layer" in str(path) else leaf
+
+    p = jax.tree_util.tree_map_with_path(zero_sigma, params)
+    render = _occ_renderer(pipeline, cap_fraction=0.25)
+    out = np.asarray(render(p, _batch(rng)))
+    # sigma == 0 on every sample -> zero weights -> white background exactly
+    np.testing.assert_allclose(out, np.ones_like(out), atol=1e-5)
+
+
+def test_occupancy_render_fallback_coarse_only(rng):
+    pipeline, params = _make(run_fine=0)
+    batch = _batch(rng)
+    render = _occ_renderer(pipeline)
+    out = np.asarray(render(params, batch))
+    want = np.asarray(pipeline(params, batch, None, False)["rgb_fine"])
+    np.testing.assert_allclose(out, want, atol=1e-6)

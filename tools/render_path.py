@@ -35,7 +35,10 @@ def main():
     p.add_argument("--fast", type=int, default=0,
                    help="1: foreground-culled hierarchical renderer "
                         "(render/fast.py) — exact for zero-weight background "
-                        "rays, ~2x faster on mostly-background scenes")
+                        "rays, ~2x faster on mostly-background scenes; "
+                        "2: occupancy-grid culled — cull scores come from a "
+                        "baked density voxel grid, no coarse MLP on "
+                        "background rays at all")
     p.add_argument("--cap_fraction", type=float, default=0.25,
                    help="--fast: fraction of rays fine-rendered (top opacity)")
     p.add_argument("--out", default="renders_path")
@@ -66,7 +69,7 @@ def main():
         data.human_poses = pose
         data.betas = np.zeros(10, np.float32)
     renders = render_dataset(run_args, extras, args.run_dir, data,
-                             fast=bool(args.fast), cap_fraction=args.cap_fraction)
+                             fast=int(args.fast), cap_fraction=args.cap_fraction)
     save_rerenders(renders, args.out)
     print(f"{data.num_images} novel views -> {args.out}")
 
