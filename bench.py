@@ -117,9 +117,16 @@ def bench_jax(batch: int = 2048, steps: int = 32):
 
     render_ms = best_ms(render_fast)
     naive_ms = best_ms(render_naive)
-    _stderr(f"128x128 smpl_nerf render: {render_ms:.1f} ms (fg-culled), "
-            f"{naive_ms:.1f} ms (all rays)")
-    return rays_per_sec, render_ms, naive_ms
+    # occupancy-grid culled renderer (round 2): cull scores from a baked
+    # density voxel grid instead of an all-rays coarse pass; the timing
+    # includes the per-call grid bake (the honest pose-varying frame cost)
+    from smpl_nerf_tpu.render.fast import make_occupancy_renderer
+    render_occ = jax.jit(make_occupancy_renderer(render_pipeline,
+                                                 cap_fraction=0.25))
+    occ_ms = best_ms(render_occ)
+    _stderr(f"128x128 smpl_nerf render: {occ_ms:.1f} ms (occupancy-culled), "
+            f"{render_ms:.1f} ms (fg-culled), {naive_ms:.1f} ms (all rays)")
+    return rays_per_sec, render_ms, naive_ms, occ_ms
 
 
 def bench_torch_cpu(batch: int = 256, steps: int = 3):
@@ -190,7 +197,7 @@ def bench_torch_cpu(batch: int = 256, steps: int = 3):
 
 
 def main():
-    rays_per_sec, render_ms, naive_ms = bench_jax()
+    rays_per_sec, render_ms, naive_ms, occ_ms = bench_jax()
     try:
         torch_rays = bench_torch_cpu()
     except Exception as e:  # noqa: BLE001
@@ -204,6 +211,7 @@ def main():
         "unit": "rays/sec/chip",
         "vs_baseline": round(vs, 2),
         "extra": {"render_128x128_smpl_nerf_ms": round(render_ms, 2),
+                  "render_128x128_occupancy_ms": round(occ_ms, 2),
                   "render_128x128_all_rays_ms": round(naive_ms, 2),
                   "torch_cpu_rays_per_sec": round(torch_rays, 1) if torch_rays else None},
     }))

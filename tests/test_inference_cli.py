@@ -46,3 +46,7 @@ def test_train_cli_renders_inference_gif(tmp_path):
     data = datasets.load_dataset(os.path.join(d, "val"), args.model_type, args)
     out = render_dataset(args, extras, log_dir, data)
     assert out.shape == (3, 10, 10, 3) and np.isfinite(out).all()
+    # fast=2 (occupancy-grid culled) falls back to the full pipeline for a
+    # coarse-only run but must produce identical output through the CLI path
+    out2 = render_dataset(args, extras, log_dir, data, fast=2)
+    np.testing.assert_allclose(out2, out, atol=1e-6)
