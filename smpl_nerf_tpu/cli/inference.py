@@ -20,6 +20,7 @@ from typing import Optional
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from smpl_nerf_tpu import config as config_mod
 from smpl_nerf_tpu.data import datasets
@@ -88,7 +89,16 @@ def render_dataset(args, extras, run_dir: str, data, fast: int = 0,
     render_fn = None
     if int(fast) >= 2:
         from smpl_nerf_tpu.render.fast import make_occupancy_renderer
-        render_fn = jax.jit(make_occupancy_renderer(pipeline, cap_fraction))
+        occ = make_occupancy_renderer(pipeline, cap_fraction)
+        poses = data.human_poses
+        grid = None
+        if poses is None or bool(np.all(poses == poses[:1])):
+            # every frame shares one body pose (novel camera paths): bake the
+            # density grid ONCE and reuse it across all render batches
+            gbatch = ({"human_pose": jnp.asarray(poses[:1])}
+                      if poses is not None else {})
+            grid = jax.jit(occ.build_grid)(params, gbatch)
+        render_fn = jax.jit(lambda p, b, g=grid: occ(p, b, g))
     elif fast:
         from smpl_nerf_tpu.render.fast import make_fast_renderer
         render_fn = jax.jit(make_fast_renderer(pipeline, cap_fraction))
