@@ -121,7 +121,8 @@ def train(argv: Optional[list] = None, log_dir: Optional[str] = None,
             solver.train(train_data, val_data)
     else:
         solver.train(train_data, val_data)
-    checkpoints.save_run(log_dir, solver.params, args, parser, args.dataset_dir)
+    checkpoints.save_run(log_dir, solver.eval_params, args, parser,
+                         args.dataset_dir)
     print("Run saved under", log_dir)
     if (int(getattr(args, "render_gif", 0))
             and args.model_type in ("append_smpl_params", "append_to_nerf",

@@ -200,6 +200,12 @@ def config_parser() -> ConfigArgumentParser:
                              "thousand steps (original-NeRF schedule; the "
                              "reference keeps lr constant — 0 reproduces that)")
     parser.add_argument("--lrate_pose", type=float, default=0.1)
+    parser.add_argument("--param_ema", type=float, default=0.0,
+                        help=">0 (e.g. 0.999): keep an exponential moving "
+                             "average of the weights and use it for "
+                             "validation, rendering and checkpoints (the raw "
+                             "weights keep training; resume loads the EMA). "
+                             "0 reproduces the reference (no averaging)")
     parser.add_argument("--weight_decay", type=float, default=0)
     parser.add_argument("--log_iterations", type=int, default=10)
     parser.add_argument("--mesh_epochs", type=float, default=[], action="append")

@@ -227,6 +227,14 @@ class Solver:
         self.global_step = 0
         self.history: Dict[str, list] = {"train_loss": [], "val_loss": []}
 
+        # --param_ema: exponential moving average of the weights, used for
+        # validation + checkpoints (beyond-reference; the raw weights keep
+        # training). The EMA update runs inside the jitted step / scan body.
+        ema_decay = float(getattr(args, "param_ema", 0) or 0)
+        self.ema_decay = ema_decay
+        self.ema_params = (jax.tree.map(lambda x: x * 1.0, self.params)
+                           if ema_decay > 0 else None)
+
         data_sh = mesh_mod.data_sharding(self.mesh)
         repl = mesh_mod.replicate_sharding(self.mesh)
         if self.tensor_parallel:
@@ -236,6 +244,10 @@ class Solver:
         else:
             step_out_shardings = (repl, repl, repl)
 
+        def _ema(ema, params):
+            return jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema, params)
+
         @functools.partial(jax.jit, donate_argnums=(0, 1),
                            out_shardings=step_out_shardings)
         def train_step(params, opt_state, batch, rng):
@@ -244,6 +256,16 @@ class Solver:
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, aux
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                           out_shardings=None if step_out_shardings is None
+                           else step_out_shardings + (repl,))
+        def train_step_ema(params, opt_state, ema, batch, rng):
+            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, batch, rng, True)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, _ema(ema, params), aux
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_scan(params, opt_state, arrays, idx_block, rng):
@@ -272,6 +294,26 @@ class Solver:
                 body, (params, opt_state), (idx_block, keys))
             return params, opt_state, losses
 
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_scan_ema(params, opt_state, ema, arrays, idx_block, rng):
+            """K train steps per dispatch with the EMA update fused in-scan."""
+            keys = jax.random.split(rng, idx_block.shape[0])
+
+            def body(carry, inp):
+                params, opt_state, ema = carry
+                idx, sub = inp
+                batch = {k: jax.lax.with_sharding_constraint(v, data_sh)
+                         for k, v in gather_batch(arrays, idx).items()}
+                (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                    params, batch, sub, True)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, _ema(ema, params)), aux["loss"]
+
+            (params, opt_state, ema), losses = jax.lax.scan(
+                body, (params, opt_state, ema), (idx_block, keys))
+            return params, opt_state, ema, losses
+
         @jax.jit
         def eval_step(params, batch, mask=None):
             _, aux = self.loss_fn(params, batch, None, False, mask)
@@ -289,11 +331,19 @@ class Solver:
                     if k in out}
 
         self._train_step = train_step
+        self._train_step_ema = train_step_ema
         self._train_scan = train_scan
+        self._train_scan_ema = train_scan_ema
         self._eval_step = eval_step
         self._render_step = render_step
         self._debug_render_step = debug_render_step
         self._data_sharding = data_sh
+
+    @property
+    def eval_params(self):
+        """Weights used for validation / rendering / checkpoints: the EMA
+        shadow when --param_ema is on, the raw training weights otherwise."""
+        return self.ema_params if self.ema_params is not None else self.params
 
     # ---------------------------------------------------------------- utils
     def _gather_batch(self, arrays: Dict[str, jnp.ndarray], idx: np.ndarray) -> dict:
@@ -421,9 +471,15 @@ class Solver:
                             idx = np.concatenate([idx, perm[:bs - len(idx)]])
                         idx_block[j] = idx
                     rng, step_rng = jax.random.split(rng)
-                    self.params, self.opt_state, losses = self._train_scan(
-                        self.params, self.opt_state, arrays,
-                        jnp.asarray(idx_block), step_rng)
+                    if self.ema_params is not None:
+                        (self.params, self.opt_state, self.ema_params,
+                         losses) = self._train_scan_ema(
+                            self.params, self.opt_state, self.ema_params,
+                            arrays, jnp.asarray(idx_block), step_rng)
+                    else:
+                        self.params, self.opt_state, losses = self._train_scan(
+                            self.params, self.opt_state, arrays,
+                            jnp.asarray(idx_block), step_rng)
                     epoch_losses.extend(np.asarray(losses).tolist())
                     step += k
                     self.global_step += k
@@ -438,8 +494,14 @@ class Solver:
                             idx = np.concatenate([idx, perm[:bs - len(idx)]])
                     batch = self._gather_batch(arrays, idx)
                     rng, step_rng = jax.random.split(rng)
-                    self.params, self.opt_state, aux = self._train_step(
-                        self.params, self.opt_state, batch, step_rng)
+                    if self.ema_params is not None:
+                        (self.params, self.opt_state, self.ema_params,
+                         aux) = self._train_step_ema(
+                            self.params, self.opt_state, self.ema_params,
+                            batch, step_rng)
+                    else:
+                        self.params, self.opt_state, aux = self._train_step(
+                            self.params, self.opt_state, batch, step_rng)
                     epoch_losses.append(aux["loss"])
                     self.global_step += 1
                     if early_val and step % int(args.log_iterations) == 0:
@@ -469,13 +531,14 @@ class Solver:
                 callback(self, epoch)
             if self.log_dir and jax.process_index() == 0:
                 from smpl_nerf_tpu.training import checkpoints
-                checkpoints.save_run(self.log_dir, self.params, args, self.parser)
+                checkpoints.save_run(self.log_dir, self.eval_params, args,
+                                     self.parser)
                 # keep the best-validation snapshot separately (the reference
                 # only keeps the last epoch; validation is noisy under sigma
                 # noise so the final epoch can regress)
                 if val_loss <= min(self.history["val_loss"]):
                     checkpoints.save_run(os.path.join(self.log_dir, "best"),
-                                         self.params, args, self.parser,
+                                         self.eval_params, args, self.parser,
                                          getattr(args, "dataset_dir", None))
         return self.params
 
@@ -506,7 +569,7 @@ class Solver:
                 if pad:
                     idx = np.concatenate([idx, np.full(pad, idx[-1])])
                 batch = self._gather_batch(val_arrays, idx)
-                out = self._debug_render_step(self.params, batch)
+                out = self._debug_render_step(self.eval_params, batch)
                 take = bs - pad
                 rgb_img.append(np.asarray(out["rgb_fine"])[:take])
                 if "warp" in out:
@@ -581,7 +644,7 @@ class Solver:
             mask = np.zeros(bs, np.float32)
             mask[:n_real] = 1.0
             batch = self._gather_batch(val_arrays, idx)
-            aux = self._eval_step(self.params, batch, self._shard_rows(mask))
+            aux = self._eval_step(self.eval_params, batch, self._shard_rows(mask))
             total += float(aux["loss"]) * n_real
             weight += n_real
         return total / weight if weight else float("nan")
@@ -616,9 +679,9 @@ class Solver:
                 self._check_batch_images(idx, img_idx_np)
             batch = self._gather_batch(arrays, idx)
             if render_fn is not None:
-                rgb_fine = render_fn(self.params, batch)
+                rgb_fine = render_fn(self.eval_params, batch)
             else:
-                _, rgb_fine = self._render_step(self.params, batch)
+                _, rgb_fine = self._render_step(self.eval_params, batch)
             out[lo:lo + bs - pad] = np.asarray(rgb_fine)[:bs - pad]
         return out
 

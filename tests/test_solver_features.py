@@ -189,3 +189,56 @@ def test_images_per_batch_eval_overflow_raises(ds):
     # strided indices hit every image: 3 val images > K=2 -> loud failure
     with pytest.raises(ValueError, match="distinct images"):
         solver._validate(val_arrays, val_data.num_rays)
+
+
+def _build_solver(ds, **overrides):
+    args, _ = _args(ds, **overrides)
+    train_data = datasets.load_dataset(os.path.join(ds, "train"), "smpl_nerf", args)
+    models, params, encoders = build_models_and_params(args, jax.random.PRNGKey(0), {})
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+    return Solver(pipeline, params, args), train_data
+
+
+def test_param_ema_off_by_default(ds):
+    solver, _ = _build_solver(ds)
+    assert solver.ema_params is None
+    assert solver.eval_params is solver.params
+
+
+def test_param_ema_exact_after_one_step(ds):
+    """ema after 1 step == d*init + (1-d)*params, and training is unperturbed."""
+    d = 0.5
+    vanilla, data = _build_solver(ds, steps_per_epoch=1)
+    vanilla.train(data, data)
+
+    ema_solver, data2 = _build_solver(ds, steps_per_epoch=1, param_ema=d)
+    init = jax.device_get(build_models_and_params(
+        ema_solver.args, jax.random.PRNGKey(0), {})[1])
+    ema_solver.train(data2, data2)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ema_solver.params),
+                    jax.tree_util.tree_leaves(vanilla.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    want = jax.tree.map(lambda e, p: d * np.asarray(e) + (1 - d) * np.asarray(p),
+                        init, jax.device_get(ema_solver.params))
+    for a, b in zip(jax.tree_util.tree_leaves(ema_solver.ema_params),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_param_ema_carried_through_scan(ds):
+    """decay=1.0: the EMA shadow must stay exactly at init through the fused
+    scan path while the raw weights move — catches any dropped/reordered carry."""
+    solver, data = _build_solver(ds, steps_per_epoch=4, scan_steps=2,
+                                 param_ema=1.0)
+    init = jax.device_get(build_models_and_params(
+        solver.args, jax.random.PRNGKey(0), {})[1])
+    solver.train(data, data)
+    moved = any(not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree_util.tree_leaves(solver.params),
+                                jax.tree_util.tree_leaves(init)))
+    assert moved
+    for a, b in zip(jax.tree_util.tree_leaves(solver.ema_params),
+                    jax.tree_util.tree_leaves(init)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    assert solver.eval_params is solver.ema_params
