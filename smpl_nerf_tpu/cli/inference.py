@@ -43,7 +43,9 @@ def inference_parser():
     parser.add_argument("--inf_fast", default=0, type=int,
                         help="1: foreground-culled hierarchical renderer "
                              "(render/fast.py) for the nerf/smpl_nerf/append "
-                             "families")
+                             "families; 2: occupancy-grid culled renderer — "
+                             "density baked into a voxel grid (per body pose), "
+                             "no MLP work on background rays")
     parser.add_argument("--inf_cap_fraction", default=0.25, type=float)
     return parser
 
@@ -86,24 +88,41 @@ def render_dataset(args, extras, run_dir: str, data, fast: int = 0,
     cfg = RenderConfig.from_args(args)
     pipeline = build_pipeline(cfg, models, encoders, extras)
     solver = Solver(pipeline, params, args)
-    render_fn = None
+    render_fn = render_fn_per_image = None
     if int(fast) >= 2:
-        from smpl_nerf_tpu.render.fast import make_occupancy_renderer
-        occ = make_occupancy_renderer(pipeline, cap_fraction)
+        from smpl_nerf_tpu.render import fast as fast_mod
+        occ = fast_mod.make_occupancy_renderer(pipeline, cap_fraction)
+        occ_jit = jax.jit(occ)
+        build_jit = jax.jit(occ.build_grid)
         poses = data.human_poses
-        grid = None
-        if poses is None or bool(np.all(poses == poses[:1])):
-            # every frame shares one body pose (novel camera paths): bake the
-            # density grid ONCE and reuse it across all render batches
+        # the baked grid depends on the body pose only for the conditioned
+        # families; nerf/original_nerf (and the fallback path) never need a
+        # per-pose grid
+        pose_dep = (args.model_type in ("smpl_nerf", "append_to_nerf",
+                                        "append_smpl_params")
+                    and bool(int(args.run_fine)))
+        if (pose_dep and poses is not None
+                and not bool(np.all(poses == poses[:1]))):
+            # pose-varying dataset: bake ONE grid per image (render batches
+            # are image-aligned so no batch mixes poses, and the bake is
+            # amortized over the whole image instead of every batch)
+            def render_fn_per_image(i):
+                grid = build_jit(params,
+                                 {"human_pose": jnp.asarray(poses[i:i + 1])})
+                return lambda p, b: occ_jit(p, b, grid)
+        else:
+            # one shared body pose (novel camera paths) or pose-independent
+            # model: bake the grid ONCE and reuse it across all batches
             gbatch = ({"human_pose": jnp.asarray(poses[:1])}
                       if poses is not None else {})
-            grid = jax.jit(occ.build_grid)(params, gbatch)
-        render_fn = jax.jit(lambda p, b, g=grid: occ(p, b, g))
+            grid = build_jit(params, gbatch)
+            render_fn = lambda p, b: occ_jit(p, b, grid)
     elif fast:
         from smpl_nerf_tpu.render.fast import make_fast_renderer
         render_fn = jax.jit(make_fast_renderer(pipeline, cap_fraction))
     rgb = solver.render_rays_batched(data, batch_size=batch_size,
-                                     render_fn=render_fn)
+                                     render_fn=render_fn,
+                                     render_fn_per_image=render_fn_per_image)
     return rgb.reshape(data.num_images, data.h, data.w, 3)
 
 

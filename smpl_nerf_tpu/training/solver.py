@@ -248,23 +248,29 @@ class Solver:
             return jax.tree.map(
                 lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema, params)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1),
-                           out_shardings=step_out_shardings)
-        def train_step(params, opt_state, batch, rng):
+        def step_body(params, opt_state, batch, rng):
+            """grad -> optimizer update -> apply; shared by all step/scan
+            variants so the training math lives in exactly one place."""
             (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 params, batch, rng, True)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, aux
+            return optax.apply_updates(params, updates), opt_state, aux
+
+        def gather_step_body(params, opt_state, arrays, idx, rng):
+            batch = {k: jax.lax.with_sharding_constraint(v, data_sh)
+                     for k, v in gather_batch(arrays, idx).items()}
+            return step_body(params, opt_state, batch, rng)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1),
+                           out_shardings=step_out_shardings)
+        def train_step(params, opt_state, batch, rng):
+            return step_body(params, opt_state, batch, rng)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
                            out_shardings=None if step_out_shardings is None
                            else step_out_shardings + (repl,))
         def train_step_ema(params, opt_state, ema, batch, rng):
-            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-                params, batch, rng, True)
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params, opt_state, aux = step_body(params, opt_state, batch, rng)
             return params, opt_state, _ema(ema, params), aux
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -282,12 +288,8 @@ class Solver:
             def body(carry, inp):
                 params, opt_state = carry
                 idx, sub = inp
-                batch = {k: jax.lax.with_sharding_constraint(v, data_sh)
-                         for k, v in gather_batch(arrays, idx).items()}
-                (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-                    params, batch, sub, True)
-                updates, opt_state = self.optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                params, opt_state, aux = gather_step_body(
+                    params, opt_state, arrays, idx, sub)
                 return (params, opt_state), aux["loss"]
 
             (params, opt_state), losses = jax.lax.scan(
@@ -302,12 +304,8 @@ class Solver:
             def body(carry, inp):
                 params, opt_state, ema = carry
                 idx, sub = inp
-                batch = {k: jax.lax.with_sharding_constraint(v, data_sh)
-                         for k, v in gather_batch(arrays, idx).items()}
-                (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-                    params, batch, sub, True)
-                updates, opt_state = self.optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                params, opt_state, aux = gather_step_body(
+                    params, opt_state, arrays, idx, sub)
                 return (params, opt_state, _ema(ema, params)), aux["loss"]
 
             (params, opt_state, ema), losses = jax.lax.scan(
@@ -651,11 +649,17 @@ class Solver:
 
     def render_rays_batched(self, data, model_type: Optional[str] = None,
                             batch_size: Optional[int] = None,
-                            render_fn: Optional[Callable] = None) -> np.ndarray:
+                            render_fn: Optional[Callable] = None,
+                            render_fn_per_image: Optional[Callable] = None
+                            ) -> np.ndarray:
         """Render every ray of `data`; returns rgb_fine [N, 3] on host.
 
         render_fn: optional (params, batch) -> rgb [bs, 3] override — e.g. the
         foreground-culled renderer (render/fast.make_fast_renderer).
+        render_fn_per_image: optional (image_index) -> render_fn factory; when
+        given, batches are aligned to image boundaries (never mixing rays of
+        two images) and the factory is called once per image — used by the
+        occupancy renderer to bake one density grid per body pose.
         """
         model_type = model_type or self.args.model_type
         arrays = self._device_arrays(data, model_type)
@@ -667,22 +671,29 @@ class Solver:
         img_idx_np = (np.asarray(arrays["image_indices"])
                       if self.pipeline.cfg.images_per_batch
                       and "image_indices" in arrays else None)
-        for lo in range(0, n, bs):
-            idx = np.arange(lo, min(lo + bs, n))
-            pad = bs - len(idx)
-            if pad:
-                # pad with the LAST ray, not ray 0: ray-0 duplicates would
-                # compete in the fast renderer's top-K opacity cull and can
-                # inject image 0 into a dynamic-family batch
-                idx = np.concatenate([idx, np.full(pad, idx[-1])])
-            if img_idx_np is not None:
-                self._check_batch_images(idx, img_idx_np)
-            batch = self._gather_batch(arrays, idx)
-            if render_fn is not None:
-                rgb_fine = render_fn(self.eval_params, batch)
-            else:
-                _, rgb_fine = self._render_step(self.eval_params, batch)
-            out[lo:lo + bs - pad] = np.asarray(rgb_fine)[:bs - pad]
+        if render_fn_per_image is not None:
+            hw = n // max(1, data.num_images)
+            spans = [(i * hw, (i + 1) * hw, render_fn_per_image(i))
+                     for i in range(data.num_images)]
+        else:
+            spans = [(0, n, render_fn)]
+        for span_lo, span_hi, fn in spans:
+            for lo in range(span_lo, span_hi, bs):
+                idx = np.arange(lo, min(lo + bs, span_hi))
+                pad = bs - len(idx)
+                if pad:
+                    # pad with the LAST ray, not ray 0: ray-0 duplicates would
+                    # compete in the fast renderer's top-K opacity cull and can
+                    # inject image 0 into a dynamic-family batch
+                    idx = np.concatenate([idx, np.full(pad, idx[-1])])
+                if img_idx_np is not None:
+                    self._check_batch_images(idx, img_idx_np)
+                batch = self._gather_batch(arrays, idx)
+                if fn is not None:
+                    rgb_fine = fn(self.eval_params, batch)
+                else:
+                    _, rgb_fine = self._render_step(self.eval_params, batch)
+                out[lo:lo + bs - pad] = np.asarray(rgb_fine)[:bs - pad]
         return out
 
     def _log(self, tag: str, value: float):

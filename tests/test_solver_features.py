@@ -242,3 +242,28 @@ def test_param_ema_carried_through_scan(ds):
                     jax.tree_util.tree_leaves(init)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
     assert solver.eval_params is solver.ema_params
+
+
+def test_render_rays_batched_image_aligned(ds):
+    """render_fn_per_image: batches never mix rays of two images and every
+    image gets its own factory call (occupancy per-pose grid contract)."""
+    solver, data = _build_solver(ds, batchsize_val=64)
+    hw = data.h * data.w
+    assert hw % 64 != 0  # the tail batch of each image really is padded
+    calls = []
+
+    def per_image(i):
+        def fn(params, batch):
+            rows = np.unique(np.asarray(batch["image_indices"]))
+            calls.append((i, rows))
+            return jnp.full((batch["ray_translation"].shape[0], 3), float(i))
+        return fn
+
+    out = solver.render_rays_batched(data, render_fn_per_image=per_image)
+    assert sorted({c[0] for c in calls}) == list(range(data.num_images))
+    for i, rows in calls:
+        assert rows.tolist() == [i], (i, rows)
+    # every ray of image i got image i's renderer output
+    got = out.reshape(data.num_images, hw, 3)
+    for i in range(data.num_images):
+        np.testing.assert_allclose(got[i], float(i))
