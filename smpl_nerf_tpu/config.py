@@ -330,4 +330,9 @@ def dataset_config_parser() -> ConfigArgumentParser:
     parser.add_argument("--smpl_model_path", default=None, type=str,
                         help="optional licensed SMPL .pkl; falls back to the built-in procedural human")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--supersample", type=int, default=1,
+                        help=">1: anti-aliased ground truth — render RGB at "
+                             "NxN subpixels per pixel and box-average down "
+                             "(nerf / smpl_nerf / pix2pix types). 1 matches "
+                             "the reference's single-ray-per-pixel renders")
     return parser

@@ -76,7 +76,8 @@ def save_split(save_dir: str, split: str, model: smpl_mod.SmplModel,
                camera_transforms: np.ndarray, indices, resolution: int,
                camera_angle_x: float, far: float, dataset_type: str,
                human_poses: Optional[np.ndarray], betas: np.ndarray,
-               expression: np.ndarray, texture: Optional[np.ndarray] = None):
+               expression: np.ndarray, texture: Optional[np.ndarray] = None,
+               supersample: int = 1):
     """Render and write one split. Mirrors reference save_split (create_dataset.py:67-135)."""
     import jax.numpy as jnp
 
@@ -101,6 +102,19 @@ def save_split(save_dir: str, split: str, model: smpl_mod.SmplModel,
     canonical_verts = np.asarray(smpl_mod.smpl_forward(
         model, jnp.asarray(betas).reshape(-1), jnp.zeros(69)))
 
+    ss = max(1, int(supersample))
+    if ss > 1 and dataset_type == "smpl":
+        # the smpl type's per-pixel depth/warp companions are center-ray
+        # quantities; averaging RGB across subpixels would decouple them
+        print("supersample ignored for dataset_type=smpl (center-ray "
+              "warp/depth companions must match the RGB ray exactly)")
+        ss = 1
+
+    def _downsample(img_hi: np.ndarray) -> np.ndarray:
+        """Box-average ss x ss subpixels -> [h, w, C] uint8 (anti-aliasing)."""
+        hi = img_hi.astype(np.float32).reshape(h, ss, w, ss, -1).mean((1, 3))
+        return np.clip(np.rint(hi), 0, 255).astype(np.uint8)
+
     import cv2
     for k, (name, cam) in enumerate(zip(image_names, cams)):
         if dataset_type == "nerf":
@@ -113,10 +127,14 @@ def save_split(save_dir: str, split: str, model: smpl_mod.SmplModel,
         if texture is not None and model.uv is not None:
             render_kwargs = dict(uv=model.uv, texture=texture)
         if dataset_type == "pix2pix":
-            img, depth = raytrace.render_scene(verts, model.faces, cam, h, w,
+            img, depth = raytrace.render_scene(verts, model.faces, cam,
+                                               h * ss, w * ss,
                                                camera_angle_x, return_depth=True,
                                                **render_kwargs)
             depth_vis = (np.clip(depth / far, 0, 1) * 255).astype(np.uint8)
+            if ss > 1:
+                img = _downsample(img)
+                depth_vis = _downsample(depth_vis[..., None])[..., 0]
             img = np.concatenate([img, np.repeat(depth_vis[..., None], 3, -1)], 1)
         elif dataset_type == "smpl":
             img, depth = raytrace.render_scene(verts, model.faces, cam, h, w,
@@ -128,8 +146,10 @@ def save_split(save_dir: str, split: str, model: smpl_mod.SmplModel,
             np.save(os.path.join(directory, f"warp_{stem}.npy"), warp)
             np.save(os.path.join(directory, f"depth_{stem}.npy"), depth_w)
         else:
-            img = raytrace.render_scene(verts, model.faces, cam, h, w,
+            img = raytrace.render_scene(verts, model.faces, cam, h * ss, w * ss,
                                         camera_angle_x, **render_kwargs)
+            if ss > 1:
+                img = _downsample(img)
         cv2.imwrite(os.path.join(directory, name), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
 
     with open(os.path.join(directory, "transforms.json"), "w") as fh:
@@ -208,7 +228,8 @@ def create_dataset(args, parser=None):
     for split, indices in (("train", train_indices), ("val", val_indices)):
         save_split(args.save_dir, split, model, camera_transforms, indices,
                    args.resolution, camera_angle_x, far, args.dataset_type,
-                   human_poses, betas, expression, texture)
+                   human_poses, betas, expression, texture,
+                   supersample=int(getattr(args, "supersample", 1) or 1))
     args.train_index = list(map(int, train_indices))
     args.val_index = list(map(int, val_indices))
     if parser is not None:
