@@ -166,3 +166,43 @@ def test_local_row_range_dedupes_model_axis_replicas(devices):
     sh = mesh_mod.data_sharding(mesh)
     lo, hi = multihost.local_row_range(sh, 16)
     assert (lo, hi) == (0, 16)  # single process owns everything
+
+
+def test_tensor_parallel_with_param_ema(rng):
+    """--param_ema on a TP mesh: the EMA shadow inherits the width shardings
+    and tracks the same values as an EMA run on a replicated mesh."""
+    from smpl_nerf_tpu import config as config_mod
+    from smpl_nerf_tpu.data import datasets
+    from smpl_nerf_tpu.pipelines import RenderConfig, build_pipeline
+    from smpl_nerf_tpu.training.factory import build_models_and_params
+    from smpl_nerf_tpu.training.solver import Solver
+
+    parser = config_mod.config_parser()
+    argv = ["--config=/dev/null", "--model_type=nerf", "--netdepth=3",
+            "--netwidth=16", "--skips=1", "--number_coarse_samples=4",
+            "--run_fine=0", "--sigma_noise_std=0", "--batchsize=64",
+            "--batchsize_val=64", "--num_epochs=1", "--steps_per_epoch=2",
+            "--number_frequencies_postitional=2", "--param_ema=0.5",
+            "--number_frequencies_directional=1", "--use_pallas=0"]
+    from smpl_nerf_tpu.core import cameras
+    cams, _ = cameras.get_circle_poses(-90, 90, 2, 2.4)
+    data = datasets.rays_from_cameras(cams, 8, 8, np.pi / 3)
+    data.rgb = rng.rand(*data.rgb.shape).astype(np.float32)
+
+    def train(extra):
+        args = parser.parse_args(argv + extra)
+        models, params, encoders = build_models_and_params(
+            args, jax.random.PRNGKey(0), {})
+        pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+        solver = Solver(pipeline, params, args)
+        solver.train(data, data)
+        return solver
+
+    s_repl = train(["--mesh_shape=4,2"])
+    s_tp = train(["--mesh_shape=4,2", "--tensor_parallel=1"])
+    kernel = s_tp.ema_params["model_coarse"]["params"]["positional_net_0"]["kernel"]
+    assert "model" in str(kernel.sharding.spec), kernel.sharding
+    for a, b in zip(jax.tree_util.tree_leaves(s_tp.ema_params),
+                    jax.tree_util.tree_leaves(s_repl.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
