@@ -115,6 +115,8 @@ def train(argv: Optional[list] = None, log_dir: Optional[str] = None,
 
     solver = Solver(pipeline, params, args, canonical_vertices,
                     log_dir=log_dir, writer=writer, parser=parser)
+    if args.load_run:
+        solver.restore_train_state(args.load_run)
     profile_dir = getattr(args, "profile_dir", None)
     if profile_dir:
         with jax.profiler.trace(profile_dir):

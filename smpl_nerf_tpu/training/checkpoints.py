@@ -33,6 +33,53 @@ def save_run(save_dir: str, params: Dict[str, Any], args=None,
             shutil.copy(src, os.path.join(save_dir, "create_dataset_config.txt"))
 
 
+def save_train_state(save_dir: str, opt_state, ema_params=None,
+                     epoch: Optional[int] = None):
+    """Full-fidelity resume state: optimizer moments (+ EMA shadow, epoch).
+
+    The reference (and save_run above, its contract) persists weights only, so
+    a crash mid-run restarts Adam's moments cold. train_state.npz stores the
+    flattened opt-state leaves (structure comes from a freshly initialized
+    opt_state at load time) — the failure-recovery half of SURVEY §5's
+    checkpoint/resume plan.
+    """
+    import numpy as np
+    os.makedirs(save_dir, exist_ok=True)
+    leaves = [np.asarray(jax.device_get(l))
+              for l in jax.tree_util.tree_leaves(opt_state)]
+    blob = {f"opt_{i}": l for i, l in enumerate(leaves)}
+    if ema_params is not None:
+        for i, l in enumerate(jax.tree_util.tree_leaves(ema_params)):
+            blob[f"ema_{i}"] = np.asarray(jax.device_get(l))
+    if epoch is not None:
+        blob["epoch"] = np.asarray(epoch)
+    np.savez(os.path.join(save_dir, "train_state.npz"), **blob)
+
+
+def load_train_state(save_dir: str, opt_state_template, ema_template=None):
+    """Returns (opt_state, ema_params, epoch) or (None, None, None) if absent."""
+    import numpy as np
+    path = os.path.join(save_dir, "train_state.npz")
+    if not os.path.exists(path):
+        return None, None, None
+    blob = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
+    n = sum(1 for k in blob.files if k.startswith("opt_"))
+    if n != len(leaves):
+        raise ValueError(f"train_state.npz has {n} optimizer leaves, the "
+                         f"current optimizer expects {len(leaves)} — config "
+                         "mismatch with the saved run")
+    opt = jax.tree_util.tree_unflatten(
+        treedef, [blob[f"opt_{i}"] for i in range(n)])
+    ema = None
+    if ema_template is not None and "ema_0" in blob.files:
+        el, et = jax.tree_util.tree_flatten(ema_template)
+        ema = jax.tree_util.tree_unflatten(
+            et, [blob[f"ema_{i}"] for i in range(len(el))])
+    epoch = int(blob["epoch"]) if "epoch" in blob.files else None
+    return opt, ema, epoch
+
+
 def load_run(save_dir: str, params_template: Dict[str, Any]) -> Dict[str, Any]:
     """Restore params into the same pytree structure as params_template."""
     out = {}

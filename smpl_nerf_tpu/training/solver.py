@@ -337,6 +337,35 @@ class Solver:
         self._debug_render_step = debug_render_step
         self._data_sharding = data_sh
 
+    def restore_train_state(self, run_dir: str) -> bool:
+        """Restore optimizer moments (+ EMA shadow) saved by save_train_state.
+
+        Complements --load_run's weight restore; returns False when the run
+        dir predates train_state.npz (weights-only resume, reference
+        behaviour)."""
+        from smpl_nerf_tpu.training import checkpoints
+        ema_host = (jax.device_get(self.ema_params)
+                    if self.ema_params is not None else None)
+        opt, ema, epoch = checkpoints.load_train_state(
+            run_dir, jax.device_get(self.opt_state), ema_host)
+        if opt is None:
+            return False
+
+        def place(host_tree, like_tree):
+            if self.multihost:
+                from smpl_nerf_tpu.parallel import multihost
+                return multihost.put_tree(
+                    host_tree, jax.tree.map(lambda x: x.sharding, like_tree))
+            return jax.tree.map(lambda h, l: jax.device_put(h, l.sharding),
+                                host_tree, like_tree)
+
+        self.opt_state = place(opt, self.opt_state)
+        if ema is not None and self.ema_params is not None:
+            self.ema_params = place(ema, self.ema_params)
+        print("Optimizer state restored from", run_dir,
+              f"(saved at epoch {epoch})" if epoch is not None else "")
+        return True
+
     @property
     def eval_params(self):
         """Weights used for validation / rendering / checkpoints: the EMA
@@ -531,6 +560,10 @@ class Solver:
                 from smpl_nerf_tpu.training import checkpoints
                 checkpoints.save_run(self.log_dir, self.eval_params, args,
                                      self.parser)
+                # full-fidelity resume state (optimizer moments + EMA shadow):
+                # a crash mid-run resumes without restarting Adam cold
+                checkpoints.save_train_state(self.log_dir, self.opt_state,
+                                             self.ema_params, epoch)
                 # keep the best-validation snapshot separately (the reference
                 # only keeps the last epoch; validation is noisy under sigma
                 # noise so the final epoch can regress)

@@ -267,3 +267,38 @@ def test_render_rays_batched_image_aligned(ds):
     got = out.reshape(data.num_images, hw, 3)
     for i in range(data.num_images):
         np.testing.assert_allclose(got[i], float(i))
+
+
+def test_train_state_save_restore_roundtrip(ds, tmp_path):
+    """Optimizer moments + EMA shadow survive a crash/resume cycle exactly."""
+    args, parser = _args(ds, steps_per_epoch=2, param_ema=0.5)
+    train_data = datasets.load_dataset(os.path.join(ds, "train"), "smpl_nerf", args)
+    models, params, encoders = build_models_and_params(args, jax.random.PRNGKey(0), {})
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+    log_dir = str(tmp_path / "run")
+    solver = Solver(pipeline, params, args, log_dir=log_dir, parser=parser)
+    solver.train(train_data, train_data)
+
+    # fresh solver, different init -> load weights + train state
+    models2, params2, _ = build_models_and_params(args, jax.random.PRNGKey(7), {})
+    restored_params = checkpoints.load_run(log_dir, params2)
+    solver2 = Solver(pipeline, restored_params, args)
+    assert solver2.restore_train_state(log_dir)
+    for a, b in zip(jax.tree_util.tree_leaves(solver2.opt_state),
+                    jax.tree_util.tree_leaves(solver.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    for a, b in zip(jax.tree_util.tree_leaves(solver2.ema_params),
+                    jax.tree_util.tree_leaves(solver.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    # the restored state steps without recompart errors and keeps training
+    solver2.train(train_data, train_data)
+
+    # a config mismatch (different optimizer tree) fails loudly
+    args3, _ = _args(ds, steps_per_epoch=2, param_ema=0.5, lrate_decay=100)
+    solver3 = Solver(pipeline, restored_params, args3)
+    with pytest.raises(ValueError, match="optimizer leaves"):
+        solver3.restore_train_state(log_dir)
+
+    # run dirs from before train_state.npz existed degrade gracefully
+    os.remove(os.path.join(log_dir, "train_state.npz"))
+    assert not Solver(pipeline, restored_params, args).restore_train_state(log_dir)
