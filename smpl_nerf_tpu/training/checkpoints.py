@@ -17,13 +17,31 @@ import jax
 from flax import serialization
 
 
+def _host_tree(tree):
+    """Bring a (possibly multi-host-sharded) pytree fully to this host.
+
+    jax.device_get raises on arrays spanning non-addressable devices (e.g.
+    width-sharded params under --multihost --tensor_parallel); those need a
+    cross-process allgather. NOTE: the allgather is a COLLECTIVE — callers
+    must invoke the save functions from EVERY process (the process-0 guard
+    lives inside, after gathering)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if any(getattr(l, "is_fully_addressable", True) is False for l in leaves):
+        from jax.experimental import multihost_utils
+        return multihost_utils.process_allgather(tree, tiled=True)
+    return jax.device_get(tree)
+
+
 def save_run(save_dir: str, params: Dict[str, Any], args=None,
              parser=None, dataset_dir: Optional[str] = None):
+    host_params = {name: _host_tree(p) for name, p in params.items()}
+    if jax.process_index() != 0:
+        return
     os.makedirs(save_dir, exist_ok=True)
-    for name, p in params.items():
+    for name, p in host_params.items():
         path = os.path.join(save_dir, f"model_{name}.msgpack")
         with open(path, "wb") as fh:
-            fh.write(serialization.to_bytes(jax.device_get(p)))
+            fh.write(serialization.to_bytes(p))
     if parser is not None and args is not None:
         parser.write_config_file(args, [os.path.join(save_dir, "config.txt")])
     ds_dir = dataset_dir or (getattr(args, "dataset_dir", None) if args else None)
@@ -34,34 +52,45 @@ def save_run(save_dir: str, params: Dict[str, Any], args=None,
 
 
 def save_train_state(save_dir: str, opt_state, ema_params=None,
-                     epoch: Optional[int] = None):
-    """Full-fidelity resume state: optimizer moments (+ EMA shadow, epoch).
+                     epoch: Optional[int] = None, raw_params=None,
+                     best_val: Optional[float] = None):
+    """Full-fidelity resume state: optimizer moments (+ EMA shadow + RAW
+    weights + epoch).
 
     The reference (and save_run above, its contract) persists weights only, so
     a crash mid-run restarts Adam's moments cold. train_state.npz stores the
     flattened opt-state leaves (structure comes from a freshly initialized
-    opt_state at load time) — the failure-recovery half of SURVEY §5's
-    checkpoint/resume plan.
+    opt_state at load time). When --param_ema is on, save_run stores the EMA
+    shadow as the run's weights, so the RAW training weights the moments
+    belong to must be persisted here too — else a resume would apply the
+    restored moments to the lagged EMA weights.
     """
     import numpy as np
-    os.makedirs(save_dir, exist_ok=True)
-    leaves = [np.asarray(jax.device_get(l))
-              for l in jax.tree_util.tree_leaves(opt_state)]
-    blob = {f"opt_{i}": l for i, l in enumerate(leaves)}
-    if ema_params is not None:
-        for i, l in enumerate(jax.tree_util.tree_leaves(ema_params)):
-            blob[f"ema_{i}"] = np.asarray(jax.device_get(l))
+    blob = {}
+    for prefix, tree in (("opt", opt_state), ("ema", ema_params),
+                         ("raw", raw_params)):
+        if tree is None:
+            continue
+        host = _host_tree(tree)
+        for i, l in enumerate(jax.tree_util.tree_leaves(host)):
+            blob[f"{prefix}_{i}"] = np.asarray(l)
+    if jax.process_index() != 0:
+        return
     if epoch is not None:
         blob["epoch"] = np.asarray(epoch)
+    if best_val is not None and np.isfinite(best_val):
+        blob["best_val"] = np.asarray(best_val)
+    os.makedirs(save_dir, exist_ok=True)
     np.savez(os.path.join(save_dir, "train_state.npz"), **blob)
 
 
-def load_train_state(save_dir: str, opt_state_template, ema_template=None):
-    """Returns (opt_state, ema_params, epoch) or (None, None, None) if absent."""
+def load_train_state(save_dir: str, opt_state_template, ema_template=None,
+                     raw_template=None):
+    """Returns (opt_state, ema, raw_params, meta dict); (None,)*4 if absent."""
     import numpy as np
     path = os.path.join(save_dir, "train_state.npz")
     if not os.path.exists(path):
-        return None, None, None
+        return None, None, None, None
     blob = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
     n = sum(1 for k in blob.files if k.startswith("opt_"))
@@ -71,13 +100,18 @@ def load_train_state(save_dir: str, opt_state_template, ema_template=None):
                          "mismatch with the saved run")
     opt = jax.tree_util.tree_unflatten(
         treedef, [blob[f"opt_{i}"] for i in range(n)])
-    ema = None
-    if ema_template is not None and "ema_0" in blob.files:
-        el, et = jax.tree_util.tree_flatten(ema_template)
-        ema = jax.tree_util.tree_unflatten(
-            et, [blob[f"ema_{i}"] for i in range(len(el))])
-    epoch = int(blob["epoch"]) if "epoch" in blob.files else None
-    return opt, ema, epoch
+
+    def _tree(prefix, template):
+        if template is None or f"{prefix}_0" not in blob.files:
+            return None
+        el, et = jax.tree_util.tree_flatten(template)
+        return jax.tree_util.tree_unflatten(
+            et, [blob[f"{prefix}_{i}"] for i in range(len(el))])
+
+    meta = {"epoch": int(blob["epoch"]) if "epoch" in blob.files else None,
+            "best_val": (float(blob["best_val"])
+                         if "best_val" in blob.files else None)}
+    return opt, _tree("ema", ema_template), _tree("raw", raw_template), meta
 
 
 def load_run(save_dir: str, params_template: Dict[str, Any]) -> Dict[str, Any]:

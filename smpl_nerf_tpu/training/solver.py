@@ -226,6 +226,11 @@ class Solver:
         self.writer = writer
         self.global_step = 0
         self.history: Dict[str, list] = {"train_loss": [], "val_loss": []}
+        # resume accounting (restore_train_state): epoch numbering continues
+        # and the pre-crash best-val snapshot is never clobbered by a worse
+        # post-resume epoch
+        self.epoch_offset = 0
+        self.best_val = float("inf")
 
         # --param_ema: exponential moving average of the weights, used for
         # validation + checkpoints (beyond-reference; the raw weights keep
@@ -338,16 +343,19 @@ class Solver:
         self._data_sharding = data_sh
 
     def restore_train_state(self, run_dir: str) -> bool:
-        """Restore optimizer moments (+ EMA shadow) saved by save_train_state.
+        """Restore optimizer moments (+ EMA shadow + raw weights + epoch /
+        best-val accounting) saved by save_train_state.
 
         Complements --load_run's weight restore; returns False when the run
         dir predates train_state.npz (weights-only resume, reference
-        behaviour)."""
+        behaviour). With --param_ema, --load_run put the EMA shadow into
+        self.params; the raw training weights stored here replace it so the
+        restored Adam moments keep tracking the trajectory they came from."""
         from smpl_nerf_tpu.training import checkpoints
-        ema_host = (jax.device_get(self.ema_params)
-                    if self.ema_params is not None else None)
-        opt, ema, epoch = checkpoints.load_train_state(
-            run_dir, jax.device_get(self.opt_state), ema_host)
+        host_tpl = lambda t: None if t is None else checkpoints._host_tree(t)
+        opt, ema, raw, meta = checkpoints.load_train_state(
+            run_dir, host_tpl(self.opt_state), host_tpl(self.ema_params),
+            host_tpl(self.params) if self.ema_params is not None else None)
         if opt is None:
             return False
 
@@ -362,8 +370,14 @@ class Solver:
         self.opt_state = place(opt, self.opt_state)
         if ema is not None and self.ema_params is not None:
             self.ema_params = place(ema, self.ema_params)
+        if raw is not None:
+            self.params = place(raw, self.params)
+        if meta.get("epoch") is not None:
+            self.epoch_offset = meta["epoch"] + 1
+        if meta.get("best_val") is not None:
+            self.best_val = meta["best_val"]
         print("Optimizer state restored from", run_dir,
-              f"(saved at epoch {epoch})" if epoch is not None else "")
+              f"(epoch {meta.get('epoch')}, best val {meta.get('best_val')})")
         return True
 
     @property
@@ -408,6 +422,9 @@ class Solver:
         bs = mesh_mod.pad_to_multiple(int(args.batchsize), self.n_data)
         steps_per_epoch = int(getattr(args, "steps_per_epoch", 0)) or max(1, n // bs)
 
+        # resumed runs continue the global-step / epoch numbering
+        self.global_step = max(self.global_step,
+                               self.epoch_offset * steps_per_epoch)
         scan_steps = int(getattr(args, "scan_steps", 0) or 0)
         early_val = bool(int(getattr(args, "early_validation", 0)))
         if scan_steps > 1 and early_val:
@@ -549,25 +566,35 @@ class Solver:
             self._log("loss/train", train_loss)
             self._log("loss/val", val_loss)
             self._log("perf/rays_per_sec", rays_per_sec)
-            print(f"[epoch {epoch}] train {train_loss:.5f} val {val_loss:.5f} "
+            print(f"[epoch {self.epoch_offset + epoch}] "
+                  f"train {train_loss:.5f} val {val_loss:.5f} "
                   f"psnr {mse2psnr(max(val_loss / 2, 1e-10)):.2f} "
                   f"({rays_per_sec:,.0f} rays/s)")
             if self.writer is not None:
                 self._log_rerenders(val_arrays, val_data, epoch)
             if callback is not None:
                 callback(self, epoch)
-            if self.log_dir and jax.process_index() == 0:
+            if self.log_dir:
+                # NOTE: called from EVERY process — the save functions gather
+                # multihost-sharded trees collectively and only process 0
+                # writes files
                 from smpl_nerf_tpu.training import checkpoints
                 checkpoints.save_run(self.log_dir, self.eval_params, args,
                                      self.parser)
-                # full-fidelity resume state (optimizer moments + EMA shadow):
-                # a crash mid-run resumes without restarting Adam cold
-                checkpoints.save_train_state(self.log_dir, self.opt_state,
-                                             self.ema_params, epoch)
+                # full-fidelity resume state (optimizer moments + EMA shadow
+                # + the raw weights the moments belong to): a crash mid-run
+                # resumes without restarting Adam cold
+                checkpoints.save_train_state(
+                    self.log_dir, self.opt_state, self.ema_params,
+                    self.epoch_offset + epoch,
+                    raw_params=self.params if self.ema_params is not None
+                    else None,
+                    best_val=min(self.best_val, val_loss))
                 # keep the best-validation snapshot separately (the reference
                 # only keeps the last epoch; validation is noisy under sigma
                 # noise so the final epoch can regress)
-                if val_loss <= min(self.history["val_loss"]):
+                if val_loss <= min(self.history["val_loss"] + [self.best_val]):
+                    self.best_val = val_loss
                     checkpoints.save_run(os.path.join(self.log_dir, "best"),
                                          self.eval_params, args, self.parser,
                                          getattr(args, "dataset_dir", None))
@@ -706,11 +733,14 @@ class Solver:
                       and "image_indices" in arrays else None)
         if render_fn_per_image is not None:
             hw = n // max(1, data.num_images)
-            spans = [(i * hw, (i + 1) * hw, render_fn_per_image(i))
-                     for i in range(data.num_images)]
+            spans = [(i * hw, (i + 1) * hw, i) for i in range(data.num_images)]
         else:
-            spans = [(0, n, render_fn)]
-        for span_lo, span_hi, fn in spans:
+            spans = [(0, n, None)]
+        for span_lo, span_hi, img_i in spans:
+            # factory invoked lazily per image: exactly ONE baked grid is
+            # alive at a time and the bake interleaves with rendering
+            fn = (render_fn_per_image(img_i) if img_i is not None
+                  else render_fn)
             for lo in range(span_lo, span_hi, bs):
                 idx = np.arange(lo, min(lo + bs, span_hi))
                 pad = bs - len(idx)

@@ -39,7 +39,7 @@ def make_data_and_args(extra_argv=()):
     return data, args
 
 
-def run_training(extra_argv=()):
+def run_training(extra_argv=(), log_dir=None, return_solver=False):
     from smpl_nerf_tpu.pipelines import RenderConfig, build_pipeline
     from smpl_nerf_tpu.training.factory import build_models_and_params
     from smpl_nerf_tpu.training.solver import Solver
@@ -47,8 +47,10 @@ def run_training(extra_argv=()):
     data, args = make_data_and_args(extra_argv)
     models, params, encoders = build_models_and_params(args, jax.random.PRNGKey(0), {})
     pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
-    solver = Solver(pipeline, params, args)
+    solver = Solver(pipeline, params, args, log_dir=log_dir)
     solver.train(data, data)
+    if return_solver:
+        return solver.history, solver, (pipeline, params, args)
     return solver.history
 
 
@@ -83,6 +85,29 @@ def main():
     history_tp = run_training(tp_argv)
     losses_tp = ",".join(f"{l:.8f}" for l in history_tp["train_loss"])
     print(f"TP_LOSSES process={process_id} train={losses_tp}")
+
+    # cross-process TP checkpointing: save_run/save_train_state gather the
+    # width-sharded params/moments collectively (checkpoints._host_tree) and
+    # restore_train_state places them back — the non-addressable-device path
+    # jax.device_get alone cannot handle
+    import os as _os
+    log_dir = _os.environ.get("MH_LOG_DIR")
+    if log_dir:
+        from smpl_nerf_tpu.training.solver import Solver
+        from smpl_nerf_tpu.training import checkpoints
+        _, solver, (pipeline, params, args) = run_training(
+            tp_argv + ("--param_ema=0.5",), log_dir=log_dir,
+            return_solver=True)
+        restored_params = checkpoints.load_run(log_dir, params)
+        solver2 = Solver(pipeline, restored_params, args)
+        ok = solver2.restore_train_state(log_dir)
+        same = all(
+            bool(np.allclose(np.asarray(checkpoints._host_tree(a)),
+                             np.asarray(checkpoints._host_tree(b))))
+            for a, b in zip(jax.tree_util.tree_leaves(solver2.opt_state),
+                            jax.tree_util.tree_leaves(solver.opt_state)))
+        print(f"TP_CKPT process={process_id} restored={ok} match={same} "
+              f"offset={solver2.epoch_offset}")
 
 
 if __name__ == "__main__":

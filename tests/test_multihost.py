@@ -25,7 +25,7 @@ def _free_port():
     return port
 
 
-def test_two_process_training_matches_single_process():
+def test_two_process_training_matches_single_process(tmp_path):
     port = _free_port()
     coord = f"localhost:{port}"
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
@@ -33,6 +33,7 @@ def test_two_process_training_matches_single_process():
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["MH_LOG_DIR"] = str(tmp_path / "mh_run")
     procs = [subprocess.Popen([sys.executable, worker, coord, str(i)],
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               text=True, cwd=os.path.dirname(os.path.dirname(worker)),
@@ -65,6 +66,14 @@ def test_two_process_training_matches_single_process():
 
     tp0, tp1 = tp_losses(outs[0]), tp_losses(outs[1])
     np.testing.assert_allclose(tp0, tp1, rtol=0, atol=0)
+
+    # cross-process TP checkpoint save/restore (collective gather path)
+    for out in outs:
+        m = re.search(r"TP_CKPT process=\d restored=(\w+) match=(\w+) "
+                      r"offset=(\d+)", out)
+        assert m, out
+        assert m.group(1) == "True" and m.group(2) == "True", out
+        assert int(m.group(3)) == 2, out  # trained 2 epochs -> resume at 2
 
     # single-process ground truth (this process: 8 virtual devices, conftest)
     from tests.multihost_worker import run_training

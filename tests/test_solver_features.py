@@ -290,6 +290,14 @@ def test_train_state_save_restore_roundtrip(ds, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(solver2.ema_params),
                     jax.tree_util.tree_leaves(solver.ema_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    # --load_run put the EMA shadow into params; restore must swap the RAW
+    # training weights back so the moments match their trajectory
+    for a, b in zip(jax.tree_util.tree_leaves(solver2.params),
+                    jax.tree_util.tree_leaves(solver.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    # epoch numbering continues and the pre-crash best-val is protected
+    assert solver2.epoch_offset == 1
+    assert solver2.best_val == min(solver.history["val_loss"])
     # the restored state steps without recompart errors and keeps training
     solver2.train(train_data, train_data)
 

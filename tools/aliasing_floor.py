@@ -45,7 +45,29 @@ def main():
     names = sorted(meta["image_transform_map"])
     names = [names[i] for i in
              np.linspace(0, len(names) - 1, args.frames).astype(int)]
-    model = smpl_mod.procedural_human()
+    camera_angle_x = float(meta.get("camera_angle_x", np.pi / 3))
+
+    # resolve the body model / texture the generator used (mirrors
+    # data/generate.create_dataset's smpl_model_path / texture_path handling)
+    model, render_kwargs = smpl_mod.procedural_human(), {}
+    cfg_path = os.path.join(os.path.dirname(args.dataset_dir.rstrip("/")),
+                            "create_dataset_config.txt")
+    gen_cfg = {}
+    if os.path.exists(cfg_path):
+        for line in open(cfg_path):
+            if "=" in line:
+                k, _, v = line.partition("=")
+                gen_cfg[k.strip()] = v.strip()
+    smpl_path = gen_cfg.get("smpl_model_path", "")
+    if smpl_path and smpl_path != "None" and os.path.exists(smpl_path):
+        model = smpl_mod.load_smpl_pkl(smpl_path)
+        tex_path = gen_cfg.get("texture_path", "")
+        if tex_path and tex_path != "None" and os.path.exists(tex_path):
+            tex = cv2.cvtColor(cv2.imread(tex_path), cv2.COLOR_BGR2RGB)
+            render_kwargs = dict(uv=model.uv, texture=tex)
+    if not render_kwargs:
+        render_kwargs = dict(vertex_colors=model.vertex_colors)
+
     betas = np.asarray(meta.get("betas", np.zeros(10)), np.float32)
     ss = int(args.supersample)
     psnrs = []
@@ -59,7 +81,7 @@ def main():
         gt = gt[:, :, ::-1].astype(np.float32) / 255
         h, w = gt.shape[:2]
         hi = raytrace.render_scene(verts, model.faces, cam, h * ss, w * ss,
-                                   np.pi / 3, vertex_colors=model.vertex_colors)
+                                   camera_angle_x, **render_kwargs)
         aa = hi.astype(np.float32).reshape(h, ss, w, ss, 3).mean((1, 3)) / 255
         mse = float(((aa - gt) ** 2).mean())
         psnrs.append(-10 * np.log10(mse))
