@@ -54,9 +54,14 @@ def ssim(x, y, kernel_size: int = 11, kernel_sigma: float = 1.5,
     k = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))  # [kh, kw, 1, C]
 
     def dconv(img):
+        # Precision.HIGHEST: TPU convs default to bf16 multiplies, and the
+        # E[x^2] - mu^2 variance terms below cancel catastrophically at that
+        # precision (negative variances -> SSIM windows > 1 on near-constant
+        # backgrounds). CPU/GPU are unaffected; TPU needs the f32 path.
         return jax.lax.conv_general_dilated(
             img, k, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST)
 
     c1 = (k1 * 1.0) ** 2
     c2 = (k2 * 1.0) ** 2
