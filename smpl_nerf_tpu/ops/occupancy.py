@@ -44,7 +44,7 @@ def lattice(aabb: Aabb, resolution: int) -> jnp.ndarray:
 
 def build_density_grid(density_fn: Callable[[jnp.ndarray], jnp.ndarray],
                        aabb: Aabb, resolution: int,
-                       dilate_voxels: int = 1) -> jnp.ndarray:
+                       dilate_voxels: int = 2) -> jnp.ndarray:
     """Bake `density_fn(points [N,3]) -> sigma [N]` into a [G,G,G] grid.
 
     The grid is max-dilated `dilate_voxels` times so trilinear probes next to
@@ -99,16 +99,37 @@ def trilinear(grid: jnp.ndarray, aabb: Aabb, points: jnp.ndarray) -> jnp.ndarray
     return jnp.where(inside, val, 0.0)
 
 
+def nearest(grid: jnp.ndarray, aabb: Aabb, points: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-voxel grid lookup at `points` [..., 3]; zero outside the aabb.
+
+    TPU-friendly: ONE flat gather instead of trilinear's eight — general
+    gathers are the slowest primitive on TPU and dominate the probe cost.
+    Combined with >=2 dilation voxels this stays conservative (a point within
+    half a voxel of occupancy reads a dilated-occupied cell).
+    """
+    G = grid.shape[0]
+    lo = jnp.asarray(aabb[0], jnp.float32)
+    hi = jnp.asarray(aabb[1], jnp.float32)
+    inside = jnp.all((points >= lo) & (points <= hi), -1)
+    u = (points - lo) / (hi - lo) * G
+    i = jnp.clip(u.astype(jnp.int32), 0, G - 1)
+    flat = (i[..., 0] * G + i[..., 1]) * G + i[..., 2]
+    val = jnp.take(grid.reshape(-1), flat)
+    return jnp.where(inside, val, 0.0)
+
+
 def ray_scores(grid: jnp.ndarray, aabb: Aabb, origins: jnp.ndarray,
                dirs: jnp.ndarray, near: float, far: float,
-               n_probe: int = 64) -> jnp.ndarray:
-    """Max grid occupancy along each ray [R] via `n_probe` trilinear probes.
+               n_probe: int = 64, method: str = "nearest") -> jnp.ndarray:
+    """Max grid occupancy along each ray [R] via `n_probe` grid probes.
 
     Probe spacing (far-near)/n_probe must not exceed the (dilated) voxel size
     for conservative coverage; with the defaults (3.0/64 = 0.047 vs voxel
-    4.0/64 = 0.0625 plus one-voxel dilation) a ray cannot step over an
-    occupied voxel unseen.
+    4.0/64 = 0.0625 plus dilation) a ray cannot step over an occupied voxel
+    unseen. method='nearest' (default) costs one TPU gather per probe;
+    'trilinear' costs eight and is only worth it for very coarse grids.
     """
     t = jnp.linspace(near, far, n_probe, dtype=jnp.float32)
     pts = origins[:, None, :] + dirs[:, None, :] * t[None, :, None]
-    return trilinear(grid, aabb, pts).max(-1)
+    lookup = nearest if method == "nearest" else trilinear
+    return lookup(grid, aabb, pts).max(-1)
