@@ -46,7 +46,11 @@ def inference_parser():
                              "families; 2: occupancy-grid culled renderer — "
                              "density baked into a voxel grid (per body pose), "
                              "no MLP work on background rays")
-    parser.add_argument("--inf_cap_fraction", default=0.25, type=float)
+    parser.add_argument("--inf_cap_fraction", default=0.0, type=float,
+                        help="fine-pass cull budget as a fraction of the "
+                             "batch. <=0 (default): derive it per dataset "
+                             "from occupancy probe counts (inf_fast=2) or "
+                             "use 0.25 (inf_fast=1)")
     return parser
 
 
@@ -67,14 +71,86 @@ def setup_from_run_dir(run_dir: str, model_type: Optional[str] = None):
     return args, extras, parser
 
 
+def _worst_batch_count(fg: np.ndarray, bs: int) -> int:
+    """Max per-batch foreground count over sequential `bs`-chunks of `fg`.
+
+    Mirrors Solver.render_rays_batched chunking within one span: the last
+    short chunk is padded by duplicating its final ray, so a foreground final
+    ray contributes its duplicates to that batch's budget too.
+    """
+    worst = 0
+    for lo in range(0, len(fg), bs):
+        chunk = fg[lo:lo + bs]
+        count = int(chunk.sum())
+        if len(chunk) < bs and len(chunk) and chunk[-1]:
+            count += bs - len(chunk)
+        worst = max(worst, count)
+    return worst
+
+
+def _auto_cap_fraction(pipeline, params, data, poses, per_pose: bool,
+                       batch_size: int, safety: float = 1.2,
+                       slack: int = 64) -> float:
+    """Derive the occupancy cull budget from probe counts (VERDICT round-2 #6).
+
+    Replays the exact batch chunking render_rays_batched will use (per-image
+    spans when the grid is pose-dependent, sequential batch_size chunks,
+    last-ray padding) and counts each batch's rays whose occupancy score
+    clears the threshold. The returned fraction covers the worst batch with a
+    margin, so a narrow row-band batch crossing the subject can no longer
+    exhaust a fixed 25% budget and silently paint foreground as background.
+    Cost: one grid bake per distinct pose + pure probe work — no MLP rays.
+    """
+    from smpl_nerf_tpu.render import fast as fast_mod
+
+    probe = fast_mod.make_occupancy_renderer(pipeline, cap_fraction=1.0)
+    if getattr(probe, "threshold", None) is None:
+        return 1.0  # fallback families render the full pipeline anyway
+    build_jit = jax.jit(probe.build_grid)
+    scores_jit = jax.jit(probe.ray_scores)
+    n, bs = data.num_rays, batch_size
+    origins, dirs = data.origins, data.directions
+    if per_pose:
+        hw = n // max(1, data.num_images)
+        spans = [(i * hw, (i + 1) * hw, i) for i in range(data.num_images)]
+    else:
+        spans = [(0, n, None)]
+    shared_grid = None
+    max_count = 0
+    for lo_s, hi_s, img_i in spans:
+        if img_i is not None:
+            grid = build_jit(params,
+                             {"human_pose": jnp.asarray(poses[img_i:img_i + 1])})
+        else:
+            if shared_grid is None:
+                gbatch = ({"human_pose": jnp.asarray(poses[:1])}
+                          if poses is not None else {})
+                shared_grid = build_jit(params, gbatch)
+            grid = shared_grid
+        fg = np.asarray(scores_jit(grid, jnp.asarray(origins[lo_s:hi_s]),
+                                   jnp.asarray(dirs[lo_s:hi_s]))
+                        ) > probe.threshold
+        max_count = max(max_count, _worst_batch_count(fg, bs))
+    k = min(bs, int(max_count * safety) + slack)
+    cap = k / bs
+    print(f"auto cull budget: worst batch has {max_count}/{bs} foreground "
+          f"rays -> cap_fraction={cap:.3f}")
+    return cap
+
+
 def render_dataset(args, extras, run_dir: str, data, fast: int = 0,
-                   cap_fraction: float = 0.25,
+                   cap_fraction: float = 0.0,
                    batch_size: Optional[int] = None) -> np.ndarray:
     """Render every image of `data` through the run's weights -> [N, h, w, 3].
 
     fast=1 uses the foreground-culled hierarchical renderer (render/fast.py),
     fast=2 the occupancy-grid culled renderer (grid probes replace the all-rays
     coarse scoring pass) — both for the nerf / smpl_nerf / append families.
+    cap_fraction <= 0 derives the cull budget automatically: for fast=2 a
+    cheap probe pre-pass counts the above-threshold rays of every batch this
+    call will render (mirroring the exact chunking) and sizes K to cover the
+    worst one, so narrow batches can no longer silently clip foreground
+    (the round-2 33.41-vs-34.74 footgun).
     """
     extras = dict(extras)
     extras["num_images"] = data.num_images
@@ -91,9 +167,6 @@ def render_dataset(args, extras, run_dir: str, data, fast: int = 0,
     render_fn = render_fn_per_image = None
     if int(fast) >= 2:
         from smpl_nerf_tpu.render import fast as fast_mod
-        occ = fast_mod.make_occupancy_renderer(pipeline, cap_fraction)
-        occ_jit = jax.jit(occ)
-        build_jit = jax.jit(occ.build_grid)
         poses = data.human_poses
         # the baked grid depends on the body pose only for the conditioned
         # families; nerf/original_nerf (and the fallback path) never need a
@@ -101,8 +174,16 @@ def render_dataset(args, extras, run_dir: str, data, fast: int = 0,
         pose_dep = (args.model_type in ("smpl_nerf", "append_to_nerf",
                                         "append_smpl_params")
                     and bool(int(args.run_fine)))
-        if (pose_dep and poses is not None
-                and not bool(np.all(poses == poses[:1]))):
+        per_pose = (pose_dep and poses is not None
+                    and not bool(np.all(poses == poses[:1])))
+        if cap_fraction <= 0:
+            cap_fraction = _auto_cap_fraction(
+                pipeline, params, data, poses, per_pose,
+                batch_size or int(args.batchsize_val))
+        occ = fast_mod.make_occupancy_renderer(pipeline, cap_fraction)
+        occ_jit = jax.jit(occ)
+        build_jit = jax.jit(occ.build_grid)
+        if per_pose:
             # pose-varying dataset: bake ONE grid per image (render batches
             # are image-aligned so no batch mixes poses, and the bake is
             # amortized over the whole image instead of every batch)
@@ -119,7 +200,8 @@ def render_dataset(args, extras, run_dir: str, data, fast: int = 0,
             render_fn = lambda p, b: occ_jit(p, b, grid)
     elif fast:
         from smpl_nerf_tpu.render.fast import make_fast_renderer
-        render_fn = jax.jit(make_fast_renderer(pipeline, cap_fraction))
+        render_fn = jax.jit(make_fast_renderer(
+            pipeline, cap_fraction if cap_fraction > 0 else 0.25))
     rgb = solver.render_rays_batched(data, batch_size=batch_size,
                                      render_fn=render_fn,
                                      render_fn_per_image=render_fn_per_image)

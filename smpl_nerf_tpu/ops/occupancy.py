@@ -20,7 +20,9 @@ TPU-native design notes:
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +32,29 @@ Aabb = Tuple[Tuple[float, float, float], Tuple[float, float, float]]
 # covers the subject region of the reference scenes: cameras orbit at radius
 # ~2.4 looking at a human centered near the origin (data/generate.py paths)
 DEFAULT_AABB: Aabb = ((-2.0, -2.0, -2.0), (2.0, 2.0, 2.0))
+
+# a ray whose max grid density exceeds this counts as foreground — used for
+# cull-budget sizing and saturation detection (white-background-trained models
+# carry ~zero density in empty space, so any clearly-positive value works)
+OCC_THRESHOLD = 1e-2
+
+
+def voxel_size(aabb: Aabb, resolution: int) -> float:
+    """Smallest per-axis voxel edge length of the grid over `aabb`."""
+    lo = np.asarray(aabb[0], np.float64)
+    hi = np.asarray(aabb[1], np.float64)
+    return float(np.min((hi - lo) / resolution))
+
+
+def required_probes(aabb: Aabb, resolution: int, near: float, far: float) -> int:
+    """Smallest probe count whose spacing <= the voxel size.
+
+    ray_scores stays conservative only while consecutive probes cannot step
+    over a (dilated) occupied voxel; deriving the count from the actual
+    near/far span and grid geometry removes the silent dependence on the
+    defaults (near/far = 1/4, G = 64) flagged in round 2.
+    """
+    return max(2, int(np.ceil((far - near) / voxel_size(aabb, resolution))) + 1)
 
 
 def lattice(aabb: Aabb, resolution: int) -> jnp.ndarray:
@@ -120,15 +145,31 @@ def nearest(grid: jnp.ndarray, aabb: Aabb, points: jnp.ndarray) -> jnp.ndarray:
 
 def ray_scores(grid: jnp.ndarray, aabb: Aabb, origins: jnp.ndarray,
                dirs: jnp.ndarray, near: float, far: float,
-               n_probe: int = 64, method: str = "nearest") -> jnp.ndarray:
+               n_probe: Optional[int] = None,
+               method: str = "nearest") -> jnp.ndarray:
     """Max grid occupancy along each ray [R] via `n_probe` grid probes.
 
-    Probe spacing (far-near)/n_probe must not exceed the (dilated) voxel size
-    for conservative coverage; with the defaults (3.0/64 = 0.047 vs voxel
-    4.0/64 = 0.0625 plus dilation) a ray cannot step over an occupied voxel
-    unseen. method='nearest' (default) costs one TPU gather per probe;
-    'trilinear' costs eight and is only worth it for very coarse grids.
+    Probe spacing (far-near)/(n_probe-1) must not exceed the (dilated) voxel
+    size for conservative coverage — otherwise a ray can step over an occupied
+    voxel unseen and genuine foreground gets culled to flat background.
+    n_probe=None (default) derives the smallest safe count from the actual
+    span and grid geometry (required_probes); an explicit n_probe that
+    violates the bound raises instead of silently under-sampling.
+    method='nearest' (default) costs one TPU gather per probe; 'trilinear'
+    costs eight and is only worth it for very coarse grids.
     """
+    if n_probe is None:
+        n_probe = required_probes(aabb, grid.shape[0], near, far)
+    else:
+        spacing = (far - near) / max(n_probe - 1, 1)
+        vox = voxel_size(aabb, grid.shape[0])
+        if spacing > vox * (1 + 1e-6):
+            raise ValueError(
+                f"ray_scores: probe spacing {spacing:.4g} exceeds voxel size "
+                f"{vox:.4g} (near={near}, far={far}, n_probe={n_probe}, "
+                f"G={grid.shape[0]}) — culling would not be conservative; "
+                f"use n_probe>={required_probes(aabb, grid.shape[0], near, far)} "
+                f"or n_probe=None to derive it")
     t = jnp.linspace(near, far, n_probe, dtype=jnp.float32)
     pts = origins[:, None, :] + dirs[:, None, :] * t[None, :, None]
     lookup = nearest if method == "nearest" else trilinear

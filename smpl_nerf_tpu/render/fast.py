@@ -114,7 +114,7 @@ def make_fast_renderer(pipeline: Pipeline, cap_fraction: float = 0.25):
 
 def make_occupancy_renderer(pipeline: Pipeline, cap_fraction: float = 0.25,
                             grid_resolution: int = 64,
-                            aabb=None, n_probe: int = 64):
+                            aabb=None, n_probe=None):
     """Occupancy-grid culled renderer: no MLP work at all on background rays.
 
     make_fast_renderer still runs the coarse MLP on EVERY ray to compute cull
@@ -141,11 +141,23 @@ def make_occupancy_renderer(pipeline: Pipeline, cap_fraction: float = 0.25,
     cfg = pipeline.cfg
     if aabb is None:
         aabb = occupancy.DEFAULT_AABB
+    if n_probe is None:
+        n_probe = occupancy.required_probes(aabb, grid_resolution,
+                                            cfg.near, cfg.far)
     if cfg.model_type not in _FAMILIES or not cfg.run_fine:
         def render_fallback(params, batch, grid=None):
             return pipeline(params, batch, None, False)["rgb_fine"]
         render_fallback.build_grid = lambda params, batch: None
+        render_fallback.ray_scores = lambda grid, origins, dirs: None
         return render_fallback
+    if not cfg.white_background:
+        import warnings
+        warnings.warn(
+            "make_occupancy_renderer: the run was trained WITHOUT "
+            "--white_background — empty space likely carries density, so the "
+            "occupancy grid cannot distinguish background and culled rays "
+            "collapse to a flat color. Use make_fast_renderer (coarse-color "
+            "fallback) for such models.", stacklevel=2)
 
     run = _make_net_runner(cfg, pipeline.models, pipeline.encoders)
     pose_enc = pipeline.encoders["human_pose"]
@@ -197,7 +209,20 @@ def make_occupancy_renderer(pipeline: Pipeline, cap_fraction: float = 0.25,
 
         scores = occupancy.ray_scores(grid, aabb, origins, dirs, cfg.near,
                                       cfg.far, n_probe)
-        _, fg = jax.lax.top_k(scores, K)
+        vals, fg = jax.lax.top_k(scores, K)
+        # budget saturation: if even the K-th selected ray is clearly occupied
+        # there may be MORE foreground rays than the budget — the round-2
+        # silent 1.3 dB narrow-batch loss. Make it loud.
+        if K < R:
+            jax.lax.cond(
+                vals[K - 1] > occupancy.OCC_THRESHOLD,
+                lambda: jax.debug.print(
+                    "WARNING: occupancy cull budget saturated "
+                    f"(K={K} of R={R} rays, cap_fraction={cap_fraction:g}): "
+                    "foreground rays may be clipped to background — raise "
+                    "cap_fraction (or use auto budgeting / image-scale "
+                    "batches)"),
+                lambda: None)
         take = lambda a: jnp.take(a, fg, axis=0)
 
         o_k, d_k = take(origins), take(dirs)
@@ -250,4 +275,10 @@ def make_occupancy_renderer(pipeline: Pipeline, cap_fraction: float = 0.25,
         return canvas.at[fg].set(out_f.rgb)
 
     render.build_grid = build_grid
+    # scoring hook for cull-budget derivation: callers (cli/inference.py auto
+    # cap) probe each batch's rays against a baked grid and size K from the
+    # count of scores above render.threshold
+    render.ray_scores = lambda grid, origins, dirs: occupancy.ray_scores(
+        grid, aabb, origins, dirs, cfg.near, cfg.far, n_probe)
+    render.threshold = occupancy.OCC_THRESHOLD
     return render

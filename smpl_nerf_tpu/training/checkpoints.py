@@ -84,14 +84,48 @@ def save_train_state(save_dir: str, opt_state, ema_params=None,
     np.savez(os.path.join(save_dir, "train_state.npz"), **blob)
 
 
-def load_train_state(save_dir: str, opt_state_template, ema_template=None,
-                     raw_template=None):
-    """Returns (opt_state, ema, raw_params, meta dict); (None,)*4 if absent."""
+def broadcast_file(path: str):
+    """Multihost: read `path` on process 0 and broadcast its bytes to all.
+
+    Without a shared filesystem only process 0 may see train_state.npz; if
+    each process checked os.path.exists locally, process 0 would enter the
+    collective restore path while the others skipped it — a deadlock. Every
+    process therefore learns existence AND content from process 0. Returns
+    the file bytes on every process, or None when process 0 has no file.
+    """
     import numpy as np
-    path = os.path.join(save_dir, "train_state.npz")
-    if not os.path.exists(path):
-        return None, None, None, None
-    blob = np.load(path)
+    from jax.experimental import multihost_utils
+    if jax.process_index() == 0 and os.path.exists(path):
+        with open(path, "rb") as fh:
+            data = np.frombuffer(fh.read(), np.uint8)
+    else:
+        data = np.zeros(0, np.uint8)
+    n = int(multihost_utils.broadcast_one_to_all(np.asarray(len(data))))
+    if n == 0:
+        return None
+    buf = np.zeros(n, np.uint8)
+    if jax.process_index() == 0:
+        buf[:] = data
+    return multihost_utils.broadcast_one_to_all(buf).tobytes()
+
+
+def load_train_state(save_dir: str, opt_state_template, ema_template=None,
+                     raw_template=None, data: Optional[bytes] = None):
+    """Returns (opt_state, ema, raw_params, meta dict); (None,)*4 if absent.
+
+    `data`: optional in-memory train_state.npz bytes (from broadcast_file) —
+    used under multihost so every process parses the identical blob.
+    """
+    import io
+
+    import numpy as np
+    if data is not None:
+        blob = np.load(io.BytesIO(data))
+    else:
+        path = os.path.join(save_dir, "train_state.npz")
+        if not os.path.exists(path):
+            return None, None, None, None
+        blob = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
     n = sum(1 for k in blob.files if k.startswith("opt_"))
     if n != len(leaves):

@@ -109,6 +109,21 @@ def main():
         print(f"TP_CKPT process={process_id} restored={ok} match={same} "
               f"offset={solver2.epoch_offset}")
 
+        # ADVICE round-2 #1: train_state.npz visible ONLY to process 0 (no
+        # shared filesystem). Every process must take the same branch —
+        # process 1 learns existence AND content from process 0's broadcast
+        # instead of returning False / deadlocking in the collectives.
+        private_dir = log_dir if process_id == 0 else log_dir + "_not_visible"
+        solver3 = Solver(pipeline, restored_params, args)
+        ok_private = solver3.restore_train_state(private_dir)
+        match_private = all(
+            bool(np.allclose(np.asarray(checkpoints._host_tree(a)),
+                             np.asarray(checkpoints._host_tree(b))))
+            for a, b in zip(jax.tree_util.tree_leaves(solver3.opt_state),
+                            jax.tree_util.tree_leaves(solver.opt_state)))
+        print(f"PRIVATE_CKPT process={process_id} restored={ok_private} "
+              f"match={match_private}")
+
 
 if __name__ == "__main__":
     main()

@@ -75,6 +75,13 @@ def test_two_process_training_matches_single_process(tmp_path):
         assert m.group(1) == "True" and m.group(2) == "True", out
         assert int(m.group(3)) == 2, out  # trained 2 epochs -> resume at 2
 
+    # process-0-only checkpoint visibility: both processes restore via the
+    # broadcast path (no deadlock, no divergent branch)
+    for out in outs:
+        m = re.search(r"PRIVATE_CKPT process=\d restored=(\w+) match=(\w+)", out)
+        assert m, out
+        assert m.group(1) == "True" and m.group(2) == "True", out
+
     # single-process ground truth (this process: 8 virtual devices, conftest)
     from tests.multihost_worker import run_training
     history = run_training()

@@ -1,5 +1,6 @@
 """Occupancy-grid culling: grid math vs analytic densities + renderer parity."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -113,7 +114,88 @@ def test_occupancy_render_culls_to_background(rng):
     np.testing.assert_allclose(out, np.ones_like(out), atol=1e-5)
 
 
-def test_occupancy_render_fallback_coarse_only(rng):
+def test_ray_scores_derives_and_validates_probe_count():
+    """Round-3 hardening: spacing > voxel size is an error, None derives it."""
+    grid = jnp.zeros((64, 64, 64))
+    o = jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    # voxel = 4/64 = 0.0625; span 3.0 -> ceil(48)+1 = 49 probes minimum
+    assert occupancy.required_probes(AABB, 64, 1.0, 4.0) == 49
+    # derived count works for any span
+    occupancy.ray_scores(grid, AABB, o, d, near=1.0, far=12.0)
+    with pytest.raises(ValueError, match="not be conservative"):
+        occupancy.ray_scores(grid, AABB, o, d, near=1.0, far=4.0, n_probe=16)
+
+
+def test_occupancy_renderer_warns_without_white_background(rng):
+    pipeline, _ = _make(white_background=0)
+    with pytest.warns(UserWarning, match="white_background"):
+        _occ_renderer(pipeline)
+
+
+def _shift_sigma(params, delta):
+    def shift(path, leaf):
+        if "sigma_out_layer" in str(path) and leaf.ndim == 1:
+            return leaf + delta
+        return leaf
+    return jax.tree_util.tree_map_with_path(shift, params)
+
+
+def test_saturation_warning_is_loud(rng, capfd):
+    """More above-threshold rays than the cull budget K must print a warning
+    (the round-2 narrow-batch 1.3 dB silent-loss footgun)."""
+    pipeline, params = _make(white_background=1)
+    p = _shift_sigma(params, 5.0)  # positive density everywhere: all rays fg
+    render = _occ_renderer(pipeline, cap_fraction=0.25)
+    np.asarray(render(p, _batch(rng)))
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "saturated" in out.out + out.err
+
+
+def test_no_saturation_warning_on_empty_scene(rng, capfd):
+    pipeline, params = _make(white_background=1)
+    p = _shift_sigma(params, -100.0)  # relu kills density everywhere
+    render = _occ_renderer(pipeline, cap_fraction=0.25)
+    np.asarray(render(p, _batch(rng)))
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "saturated" not in out.out + out.err
+
+
+def test_worst_batch_count_chunking_and_padding():
+    from smpl_nerf_tpu.cli.inference import _worst_batch_count
+    fg = np.zeros(100, bool)
+    fg[10:30] = True
+    assert _worst_batch_count(fg, 64) == 20
+    # a foreground FINAL ray is duplicated into the padding of the short batch
+    fg2 = np.zeros(100, bool)
+    fg2[99] = True
+    assert _worst_batch_count(fg2, 64) == 1 + (64 - 36)
+    # batch-size-aligned spans have no padding term
+    assert _worst_batch_count(fg2[36:], 64) == 1
+
+
+def test_auto_cap_fraction_covers_saturated_scene(rng):
+    """End-to-end: the derived budget goes to 1.0 when every ray is
+    foreground, and the capped render then equals the full-cap render."""
+    from smpl_nerf_tpu.cli import inference as inf_mod
+
+    pipeline, params = _make(white_background=1)
+    p = _shift_sigma(params, 5.0)
+    n = 64
+    origins = np.tile(np.asarray([[0, 0, 2.4]], np.float32), (n, 1))
+    dirs = np.random.RandomState(0).uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    dirs[:, 2] = -1
+
+    class _Data:
+        num_rays = n
+        num_images = 1
+    data = _Data()
+    data.origins, data.directions = origins, dirs
+    cap = inf_mod._auto_cap_fraction(pipeline, p, data, None, False,
+                                     batch_size=32)
+    assert cap == 1.0
     pipeline, params = _make(run_fine=0)
     batch = _batch(rng)
     render = _occ_renderer(pipeline)

@@ -100,18 +100,30 @@ def test_validate_covers_tail_unbiased(ds):
 
 
 def test_val_rays_subset(ds):
-    """--val_rays caps per-epoch validation to a deterministic strided subset."""
+    """--val_rays caps per-epoch validation to a strided subset whose offset
+    is reseeded per epoch (round-3: subsets de-correlate across epochs, and
+    the final epoch always validates the full set)."""
     args, _ = _args(ds, batchsize_val=32, val_rays=64)
     val_data = datasets.load_dataset(os.path.join(ds, "val"), "smpl_nerf", args)
     models, params, encoders = build_models_and_params(args, jax.random.PRNGKey(0), {})
     pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
     solver = Solver(pipeline, params, args)
     val_arrays = solver._device_arrays(val_data, "smpl_nerf")
-    got = solver._validate(val_arrays, val_data.num_rays)
-    idx = np.linspace(0, val_data.num_rays - 1, 64).astype(np.int64)
+    n_val = val_data.num_rays
+    got = solver._validate(val_arrays, n_val, epoch=3)
+    stride = n_val / 64
+    offset = np.random.RandomState(3).uniform(0.0, stride)
+    idx = np.minimum(np.arange(64) * stride + offset, n_val - 1).astype(np.int64)
     batch = gather_batch(val_arrays, jnp.asarray(idx))
     want, _ = solver.loss_fn(solver.params, batch, None, False)
     np.testing.assert_allclose(got, float(want), rtol=1e-5)
+    # different epochs really do sample different subsets
+    assert solver._validate(val_arrays, n_val, epoch=4) != got
+    # full=True ignores --val_rays: equals the exact full-set loss
+    full = solver._validate(val_arrays, n_val, epoch=3, full=True)
+    full_batch = gather_batch(val_arrays, jnp.arange(n_val))
+    want_full, _ = solver.loss_fn(solver.params, full_batch, None, False)
+    np.testing.assert_allclose(full, float(want_full), rtol=1e-5)
 
 
 def test_pose_table_gather_matches_per_ray(ds):
@@ -267,6 +279,65 @@ def test_render_rays_batched_image_aligned(ds):
     got = out.reshape(data.num_images, hw, 3)
     for i in range(data.num_images):
         np.testing.assert_allclose(got[i], float(i))
+
+
+def test_foreground_split_white_background_exact():
+    from smpl_nerf_tpu.training.solver import foreground_split
+    imgs = np.ones((2, 8, 8, 3), np.float32)
+    imgs[:, 2:5, 2:5] = 0.3
+    is_fg = foreground_split(imgs.reshape(-1, 3), 2, 8, 8, True)
+    assert int(is_fg.sum()) == 2 * 9
+    assert is_fg.reshape(2, 8, 8)[:, 2:5, 2:5].all()
+
+
+def test_foreground_split_border_median_per_image():
+    """Per-image background estimation handles what the round-2 corner-pixel
+    heuristic could not: a different background color per image."""
+    from smpl_nerf_tpu.training.solver import foreground_split
+    imgs = np.full((2, 8, 8, 3), 0.1, np.float32)
+    imgs[1] = 0.6
+    imgs[0, 3:5, 3:5] = 0.9
+    imgs[1, 3:5, 3:5] = 0.05
+    is_fg = foreground_split(imgs.reshape(-1, 3), 2, 8, 8, False)
+    assert int(is_fg.sum()) == 2 * 4
+    got = is_fg.reshape(2, 8, 8)
+    assert got[0, 3:5, 3:5].all() and got[1, 3:5, 3:5].all()
+
+
+def test_foreground_split_degenerate_disables(capsys):
+    """Varied (noisy) backgrounds: the split is declared degenerate instead of
+    silently degrading oversampling to noise (original_nerf-style data)."""
+    from smpl_nerf_tpu.training.solver import foreground_split
+    imgs = np.random.RandomState(0).uniform(0, 1, (2, 8, 8, 3)).astype(np.float32)
+    assert foreground_split(imgs.reshape(-1, 3), 2, 8, 8, False) is None
+    assert "degenerate" in capsys.readouterr().out
+
+
+def test_resume_without_ema_uses_raw_weights(ds, tmp_path, capsys):
+    """ADVICE round-2 #2: resuming a --param_ema run WITHOUT --param_ema must
+    pair the restored Adam moments with the RAW weights, not the EMA shadow
+    that --load_run put into params — and must say so."""
+    args, parser = _args(ds, steps_per_epoch=2, param_ema=0.5)
+    train_data = datasets.load_dataset(os.path.join(ds, "train"), "smpl_nerf", args)
+    models, params, encoders = build_models_and_params(args, jax.random.PRNGKey(0), {})
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+    log_dir = str(tmp_path / "run_ema")
+    solver = Solver(pipeline, params, args, log_dir=log_dir, parser=parser)
+    solver.train(train_data, train_data)
+
+    args2, _ = _args(ds, steps_per_epoch=2)  # no --param_ema
+    _, params2, _ = build_models_and_params(args2, jax.random.PRNGKey(7), {})
+    restored = checkpoints.load_run(log_dir, params2)  # the EMA shadow
+    solver2 = Solver(pipeline, restored, args2)
+    assert solver2.ema_params is None
+    capsys.readouterr()
+    assert solver2.restore_train_state(log_dir)
+    assert "param_ema" in capsys.readouterr().out
+    for a, b in zip(jax.tree_util.tree_leaves(solver2.params),
+                    jax.tree_util.tree_leaves(solver.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    # and it keeps training without shape/tree errors
+    solver2.train(train_data, train_data)
 
 
 def test_train_state_save_restore_roundtrip(ds, tmp_path):

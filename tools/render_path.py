@@ -39,8 +39,10 @@ def main():
                         "2: occupancy-grid culled — cull scores come from a "
                         "baked density voxel grid, no coarse MLP on "
                         "background rays at all")
-    p.add_argument("--cap_fraction", type=float, default=0.25,
-                   help="--fast: fraction of rays fine-rendered (top opacity)")
+    p.add_argument("--cap_fraction", type=float, default=0.0,
+                   help="--fast: fraction of rays fine-rendered (top opacity)."
+                        " <=0: derive from occupancy probe counts (fast=2) or"
+                        " use 0.25 (fast=1)")
     p.add_argument("--out", default="renders_path")
     args = p.parse_args()
 
