@@ -49,6 +49,33 @@ def _z_vals_simple(args) -> np.ndarray:
     return (lower + (upper - lower) * np.random.rand()).astype(np.float32)
 
 
+def make_pose_loss(smpl_model, betas, cfg, model_coarse, pos_enc, dir_enc):
+    """photometric-loss(pose) through LBS -> vertex-attention warp -> NeRF.
+
+    Shared by the training step (pose from the estimator) and the
+    loss-landscape probe (tools/pose_landscape.py sweeps the pose directly).
+    Mirrors reference image_wise_solver.py:89-121.
+    """
+    def pose_loss(coarse_params, pose, origins, dirs, z_vals, rgb_truth):
+        canonical = smpl_mod.smpl_forward(smpl_model, betas, jnp.zeros(69))
+        goal = smpl_mod.smpl_forward(smpl_model, betas, pose)
+        warp_vec = canonical - goal
+        samples = origins[:, None, :] + dirs[:, None, :] * z_vals[..., None]
+        warp = relu_attention_warp(samples, goal, warp_vec, cfg.warp_radius)
+        warped = samples + warp
+        sample_dirs = warped - origins[:, None, :]
+        dirs_norm = sample_dirs / jnp.linalg.norm(sample_dirs, axis=-1,
+                                                  keepdims=True)
+        R, S = samples.shape[:2]
+        inputs = jnp.concatenate([pos_enc.encode(warped).reshape(R * S, -1),
+                                  dir_enc.encode(dirs_norm).reshape(R * S, -1)], -1)
+        raw = model_coarse.apply(coarse_params, inputs).reshape(R, S, 4)
+        out = raw2outputs(raw, z_vals, sample_dirs, 0.0, cfg.white_background)
+        return jnp.mean((out.rgb - rgb_truth) ** 2)
+
+    return pose_loss
+
+
 def train_image_wise(args, parser, train_data, val_data, extras,
                      log_dir: Optional[str] = None, writer=None):
     smpl_model = extras["smpl_model"]
@@ -122,25 +149,15 @@ def train_image_wise(args, parser, train_data, val_data, extras,
                     "smpl_estimator": params["smpl_estimator"]}
     opt_state = tx.init(train_params)
 
+    pose_loss = make_pose_loss(smpl_model, betas, cfg, model_coarse,
+                               pos_enc, dir_enc)
+
     @jax.jit
     def step(train_params, opt_state, origins, dirs, z_vals, rgb_truth):
         def loss_fn(p):
             pose = estimator.apply(p["smpl_estimator"])[0]
-            canonical = smpl_mod.smpl_forward(smpl_model, betas, jnp.zeros(69))
-            goal = smpl_mod.smpl_forward(smpl_model, betas, pose)
-            warp_vec = canonical - goal
-            samples = origins[:, None, :] + dirs[:, None, :] * z_vals[..., None]
-            warp = relu_attention_warp(samples, goal, warp_vec, cfg.warp_radius)
-            warped = samples + warp
-            sample_dirs = warped - origins[:, None, :]
-            dirs_norm = sample_dirs / jnp.linalg.norm(sample_dirs, axis=-1,
-                                                      keepdims=True)
-            R, S = samples.shape[:2]
-            inputs = jnp.concatenate([pos_enc.encode(warped).reshape(R * S, -1),
-                                      dir_enc.encode(dirs_norm).reshape(R * S, -1)], -1)
-            raw = model_coarse.apply(p["model_coarse"], inputs).reshape(R, S, 4)
-            out = raw2outputs(raw, z_vals, sample_dirs, 0.0, cfg.white_background)
-            return jnp.mean((out.rgb - rgb_truth) ** 2)
+            return pose_loss(p["model_coarse"], pose, origins, dirs, z_vals,
+                             rgb_truth)
 
         loss, grads = jax.value_and_grad(loss_fn)(train_params)
         updates, opt_state = tx.update(grads, opt_state, train_params)
