@@ -390,3 +390,28 @@ def default_betas() -> np.ndarray:
 def default_expression() -> np.ndarray:
     """The fixed expression vector the reference hardcodes (render.py:56-57)."""
     return _DEFAULT_EXPRESSION.copy()
+
+
+def distorted_betas(betas: np.ndarray, var: Optional[float] = None,
+                    mean: Optional[float] = None,
+                    beta0: Optional[float] = None,
+                    rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """Shape-coefficient distortion of get_smpl_mesh_distorted
+    (reference render.py:75-139, dead on its main path; kept for parity).
+
+    var:   add N(0, var) noise to every beta (betas += sqrt(var)*randn).
+    mean:  shift beta[0] by `mean` — the reference writes `betas[0] + mean`,
+           a no-op missing its assignment; the intended `+=` is implemented.
+    beta0: overwrite beta[0] outright.
+    Combine with smpl_forward to get the distorted mesh:
+        verts = smpl_forward(model, distorted_betas(betas, var=v), pose)
+    """
+    out = np.array(betas, np.float32, copy=True).reshape(-1)
+    rng = rng or np.random.RandomState(0)
+    if var is not None:
+        out += (var ** 0.5) * rng.randn(out.shape[0]).astype(np.float32)
+    if mean is not None:
+        out[0] += mean
+    if beta0 is not None:
+        out[0] = beta0
+    return out

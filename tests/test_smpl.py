@@ -172,3 +172,25 @@ def test_textured_uv_render_path(tmp_path):
     hit_px = img[hit]
     assert (hit_px[:, 1].astype(int) > hit_px[:, 0].astype(int)).all()
     assert (hit_px[:, 1].astype(int) > hit_px[:, 2].astype(int)).all()
+
+
+def test_distorted_betas_modes():
+    """Reference get_smpl_mesh_distorted beta logic (render.py:75-139) —
+    var noise, mean shift (the reference's missing `+=` is implemented as
+    intended), and beta0 overwrite; the input is never mutated."""
+    import numpy as np
+
+    from smpl_nerf_tpu.models import smpl as smpl_mod
+
+    base = smpl_mod.default_betas()
+    snap = base.copy()
+    noisy = smpl_mod.distorted_betas(base, var=0.25,
+                                     rng=np.random.RandomState(3))
+    assert noisy.shape == snap.shape
+    assert np.any(noisy != snap) and np.all(base == snap)
+    assert np.abs(noisy - snap).max() < 5 * 0.5  # ~N(0, 0.25) scale
+    shifted = smpl_mod.distorted_betas(base, mean=0.7)
+    np.testing.assert_allclose(shifted[0], snap[0] + 0.7, rtol=1e-6)
+    np.testing.assert_allclose(shifted[1:], snap[1:])
+    fixed = smpl_mod.distorted_betas(base, beta0=2.0)
+    assert fixed[0] == 2.0
