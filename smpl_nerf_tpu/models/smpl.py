@@ -406,7 +406,8 @@ def distorted_betas(betas: np.ndarray, var: Optional[float] = None,
     Combine with smpl_forward to get the distorted mesh:
         verts = smpl_forward(model, distorted_betas(betas, var=v), pose)
     """
-    out = np.array(betas, np.float32, copy=True).reshape(-1)
+    arr = np.array(betas, np.float32, copy=True)
+    out = arr.reshape(-1)
     rng = rng or np.random.RandomState(0)
     if var is not None:
         out += (var ** 0.5) * rng.randn(out.shape[0]).astype(np.float32)
@@ -414,4 +415,4 @@ def distorted_betas(betas: np.ndarray, var: Optional[float] = None,
         out[0] += mean
     if beta0 is not None:
         out[0] = beta0
-    return out
+    return arr
