@@ -189,8 +189,9 @@ def test_distorted_betas_modes():
     assert noisy.shape == snap.shape
     assert np.any(noisy != snap) and np.all(base == snap)
     assert np.abs(noisy - snap).max() < 5 * 0.5  # ~N(0, 0.25) scale
-    shifted = smpl_mod.distorted_betas(base, mean=0.7)
-    np.testing.assert_allclose(shifted[0], snap[0] + 0.7, rtol=1e-6)
-    np.testing.assert_allclose(shifted[1:], snap[1:])
-    fixed = smpl_mod.distorted_betas(base, beta0=2.0)
+    shifted = smpl_mod.distorted_betas(base, mean=0.7).reshape(-1)
+    flat = snap.reshape(-1)
+    np.testing.assert_allclose(shifted[0], flat[0] + 0.7, rtol=1e-6)
+    np.testing.assert_allclose(shifted[1:], flat[1:])
+    fixed = smpl_mod.distorted_betas(base, beta0=2.0).reshape(-1)
     assert fixed[0] == 2.0
