@@ -50,3 +50,42 @@ def test_train_cli_renders_inference_gif(tmp_path):
     # coarse-only run but must produce identical output through the CLI path
     out2 = render_dataset(args, extras, log_dir, data, fast=2)
     np.testing.assert_allclose(out2, out, atol=1e-6)
+
+
+def test_inference_fast2_per_pose_grids_and_auto_cap(tmp_path):
+    """fast=2 with a pose-VARYING dataset and a fine pass: per-image grids +
+    the round-3 automatic cull-budget derivation, through the CLI path."""
+    from smpl_nerf_tpu.cli.train import train
+
+    d = str(tmp_path / "ds")
+    parser = config_mod.dataset_config_parser()
+    gargs = parser.parse_args([
+        f"--save_dir={d}", "--dataset_type=smpl_nerf", "--resolution=10",
+        "--camera_path=circle", "--number_steps=4", "--train_val_ratio=0.75"])
+    generate.create_dataset(gargs, parser)
+    log_dir = str(tmp_path / "run")
+    train([
+        "--config=/dev/null", "--model_type=append_smpl_params",
+        f"--dataset_dir={d}", "--num_epochs=1", "--batchsize=64",
+        "--batchsize_val=64", "--number_coarse_samples=4", "--run_fine=1",
+        "--number_fine_samples=4", "--sigma_noise_std=0", "--netdepth=2",
+        "--netwidth=16", "--number_frequencies_postitional=2",
+        "--number_frequencies_directional=1", "--number_frequencies_pose=2",
+        "--human_pose_encoding=1", "--use_pallas=0", "--render_gif=0",
+        "--number_validation_images=0", "--steps_per_epoch=2",
+        "--white_background=1"], log_dir=log_dir)
+
+    from smpl_nerf_tpu.cli.inference import render_dataset, setup_from_run_dir
+    from smpl_nerf_tpu.data import datasets
+    args, extras, _ = setup_from_run_dir(log_dir)
+    data = datasets.load_dataset(os.path.join(d, "val"), args.model_type, args)
+    assert not np.all(data.human_poses == data.human_poses[:1])  # pose-varying
+    full = render_dataset(args, extras, log_dir, data)
+    # explicit cap=1.0: every ray fine-rendered -> must match the full render
+    occ = render_dataset(args, extras, log_dir, data, fast=2, cap_fraction=1.0,
+                         batch_size=50)
+    np.testing.assert_allclose(occ, full, atol=1e-5)
+    # auto budget (cap<=0): derives K from probe counts and stays finite
+    auto = render_dataset(args, extras, log_dir, data, fast=2,
+                          cap_fraction=0.0, batch_size=50)
+    assert auto.shape == full.shape and np.isfinite(auto).all()

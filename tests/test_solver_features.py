@@ -381,3 +381,16 @@ def test_train_state_save_restore_roundtrip(ds, tmp_path):
     # run dirs from before train_state.npz existed degrade gracefully
     os.remove(os.path.join(log_dir, "train_state.npz"))
     assert not Solver(pipeline, restored_params, args).restore_train_state(log_dir)
+
+
+def test_broadcast_file_single_process(tmp_path):
+    """Single-process degenerate case: returns the bytes / None-for-missing."""
+    p = tmp_path / "blob.npz"
+    np.savez(p, x=np.arange(3))
+    data = checkpoints.broadcast_file(str(p))
+    assert data == p.read_bytes()
+    assert checkpoints.broadcast_file(str(tmp_path / "nope.npz")) is None
+    # load_train_state parses broadcast bytes identically to the file path
+    import io
+    blob = np.load(io.BytesIO(data))
+    assert blob["x"].tolist() == [0, 1, 2]
