@@ -135,6 +135,12 @@ def make_occupancy_renderer(pipeline: Pipeline, cap_fraction: float = 0.25,
     background with a density "curtain"; its grid is occupied everywhere and
     culled rays collapse to the flat background color — use
     make_fast_renderer (graceful coarse-color fallback) for such runs.
+    Round-3 guardrails: constructing this renderer for a non-white-background
+    config warns; n_probe=None derives the probe count from the near/far span
+    and voxel size (occupancy.required_probes); a render whose top-K budget is
+    saturated by above-threshold rays prints a loud warning (cli/inference.py
+    sizes the budget automatically from probe counts when
+    --inf_cap_fraction<=0).
     """
     from smpl_nerf_tpu.ops import occupancy
 
