@@ -8,7 +8,15 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_c
 
 # ---- 3a. dummy_dynamic to plateau: resume the round-2 run (epoch 19) with
 #          full-fidelity optimizer state for +30 epochs -----------------------
-DYN_RUN=${DYN_RUN:-runs/Aug17_01-21-52_dynamic_256}
+# resume from the NEWEST dynamic run (so a rerun after an interruption
+# continues from the interrupted resume, not from the round-2 checkpoint)
+DYN_RUN=${DYN_RUN:-$(ls -d runs/*dynamic_256* | tail -1)}
+DYN_DONE=$(python -c "import numpy as np; print(int(np.load('$DYN_RUN/train_state.npz')['epoch'])+1)")
+DYN_TARGET=${DYN_TARGET:-50}
+DYN_EPOCHS=$((DYN_TARGET - DYN_DONE))
+if [ "$DYN_EPOCHS" -le 0 ]; then DYN_EPOCHS=0; fi
+echo "dynamic: resuming $DYN_RUN from epoch $DYN_DONE (+$DYN_EPOCHS)"
+if [ "$DYN_EPOCHS" -gt 0 ]; then
 python train.py --config=/dev/null --dataset_dir=data/walking_256 \
   --model_type=dummy_dynamic --batchsize=2048 --batchsize_val=4096 \
   --number_coarse_samples=64 --run_fine=0 --sigma_noise_std=1 \
@@ -16,8 +24,9 @@ python train.py --config=/dev/null --dataset_dir=data/walking_256 \
   --compute_dtype=bfloat16 --use_pallas=1 --foreground_sample_ratio=0.5 \
   --steps_per_epoch=2000 --val_rays=131072 --number_validation_images=0 \
   --render_gif=0 --warp_radius=0.15 --images_per_batch=8 \
-  --load_run="$DYN_RUN" --num_epochs=${DYN_EPOCHS:-30} \
+  --load_run="$DYN_RUN" --num_epochs=$DYN_EPOCHS \
   --experiment_name=dynamic_256_resume
+fi
 
 # ---- 3b. image_wise_dynamic at 256^2: frozen canonical NeRF + arm-angle
 #          optimization against a 25-degree dataset ---------------------------

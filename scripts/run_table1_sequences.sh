@@ -21,6 +21,22 @@ for MOTION in waving arms_swinging; do
         --sequence_skip=1 --supersample=2
   fi
 
+  # resume-capable: if a previous (interrupted) run of this motion exists,
+  # continue it from its train_state.npz instead of restarting cold
+  PREV=$(ls -d runs/*flagship_aa_${MOTION} 2>/dev/null | tail -1)
+  RESUME=""
+  LEFT=$EPOCHS
+  if [ -n "$PREV" ] && [ -f "$PREV/train_state.npz" ]; then
+    DONE=$(python -c "import numpy as np; print(int(np.load('$PREV/train_state.npz')['epoch'])+1)")
+    LEFT=$((EPOCHS - DONE))
+    if [ "$LEFT" -le 0 ]; then
+      echo "$MOTION already trained to $DONE epochs — skipping train"
+    else
+      RESUME="--load_run=$PREV"
+      echo "resuming $PREV from epoch $DONE (+$LEFT)"
+    fi
+  fi
+  if [ "$LEFT" -gt 0 ]; then
   python train.py --config=/dev/null --dataset_dir="$DS" \
     --model_type=append_smpl_params --human_pose_encoding=1 \
     --number_frequencies_pose=4 --batchsize=2048 --batchsize_val=4096 \
@@ -30,11 +46,14 @@ for MOTION in waving arms_swinging; do
     --compute_dtype=bfloat16 --use_pallas=1 --scan_steps=16 \
     --foreground_sample_ratio=0.5 --steps_per_epoch=2000 --val_rays=131072 \
     --number_validation_images=0 --render_gif=0 --param_ema=0.999 \
-    --num_epochs=$EPOCHS --experiment_name=flagship_aa_${MOTION}
+    --num_epochs=$LEFT $RESUME --experiment_name=flagship_aa_${MOTION}
+  fi
 
-  for RUN in runs/*flagship_aa_${MOTION}; do
-    [ -d "$RUN/best" ] && python inference.py --inf_run_dir="$RUN/best" \
+  # score only the newest run (a resumed run carries the best checkpoint on)
+  RUN=$(ls -d runs/*flagship_aa_${MOTION} | tail -1)
+  if [ -d "$RUN/best" ] && [ ! -f "$RUN/renders_val/img_000.png" ]; then
+    python inference.py --inf_run_dir="$RUN/best" \
         --inf_ground_truth_dir="$DS/val" --inf_save_dir="$RUN/renders_val" \
         --inf_batchsize=4096
-  done
+  fi
 done
