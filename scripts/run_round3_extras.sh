@@ -80,6 +80,17 @@ fi
 python tools/pix2pix_baseline.py --dataset_dir data/walking_256_p2p \
     --epochs ${P2P_EPOCHS:-80} --out runs/baseline_p2p_walking
 
+# ---- 6. round-2 footgun regression at production scale: occupancy-culled
+#         render with NARROW (4096-ray row-band) batches + the AUTO budget
+#         must match full-render quality (round 2 lost 1.3 dB here silently)
+ARM_RUN=$(ls -d runs/*smplnerf_armsweep_256 | tail -1)
+if [ -d "$ARM_RUN/best" ]; then
+  python inference.py --inf_run_dir="$ARM_RUN/best" \
+      --inf_ground_truth_dir=data/armsweep_256_aa/val \
+      --inf_save_dir="$ARM_RUN/renders_val_occ" --inf_batchsize=4096 \
+      --inf_fast=2
+fi
+
 # ---- 5 + 8. roofline / fused-MLP evidence on this chip ----------------------
 python scripts/mlp_roofline.py --part all > RESULTS_roofline.jsonl \
     2> RESULTS_roofline.log || true
