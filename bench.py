@@ -121,8 +121,12 @@ def bench_jax(batch: int = 2048, steps: int = 32):
     # density voxel grid instead of an all-rays coarse pass; the timing
     # includes the per-call grid bake (the honest pose-varying frame cost)
     from smpl_nerf_tpu.render.fast import make_occupancy_renderer
+    # warn_saturation=False: the in-jit saturation check is a host callback
+    # (~86 ms/frame over the axon tunnel, 2.5x the render itself) and the
+    # bench frame's budget is known-sufficient
     render_occ = jax.jit(make_occupancy_renderer(render_pipeline,
-                                                 cap_fraction=0.25))
+                                                 cap_fraction=0.25,
+                                                 warn_saturation=False))
     occ_ms = best_ms(render_occ)
     _stderr(f"128x128 smpl_nerf render: {occ_ms:.1f} ms (occupancy-culled), "
             f"{render_ms:.1f} ms (fg-culled), {naive_ms:.1f} ms (all rays)")

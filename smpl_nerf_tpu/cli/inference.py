@@ -176,11 +176,22 @@ def render_dataset(args, extras, run_dir: str, data, fast: int = 0,
                     and bool(int(args.run_fine)))
         per_pose = (pose_dep and poses is not None
                     and not bool(np.all(poses == poses[:1])))
+        derived = _auto_cap_fraction(
+            pipeline, params, data, poses, per_pose,
+            batch_size or int(args.batchsize_val))
         if cap_fraction <= 0:
-            cap_fraction = _auto_cap_fraction(
-                pipeline, params, data, poses, per_pose,
-                batch_size or int(args.batchsize_val))
-        occ = fast_mod.make_occupancy_renderer(pipeline, cap_fraction)
+            cap_fraction = derived
+        elif cap_fraction < derived:
+            print(f"WARNING: --inf_cap_fraction={cap_fraction:g} is below the "
+                  f"derived safe cull budget {derived:.3f} for this dataset's "
+                  "batching — foreground rays may be clipped to background "
+                  "(the round-2 narrow-batch footgun). Raise it, or pass a "
+                  "value <= 0 to size the budget automatically.")
+        # this host-side probe pre-pass replaces the renderer's in-jit
+        # saturation check (a host callback costing ~2x the render itself
+        # over the axon tunnel), so the hot render path disables it
+        occ = fast_mod.make_occupancy_renderer(pipeline, cap_fraction,
+                                               warn_saturation=False)
         occ_jit = jax.jit(occ)
         build_jit = jax.jit(occ.build_grid)
         if per_pose:

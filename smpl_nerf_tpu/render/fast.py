@@ -114,7 +114,8 @@ def make_fast_renderer(pipeline: Pipeline, cap_fraction: float = 0.25):
 
 def make_occupancy_renderer(pipeline: Pipeline, cap_fraction: float = 0.25,
                             grid_resolution: int = 64,
-                            aabb=None, n_probe=None):
+                            aabb=None, n_probe=None,
+                            warn_saturation: bool = True):
     """Occupancy-grid culled renderer: no MLP work at all on background rays.
 
     make_fast_renderer still runs the coarse MLP on EVERY ray to compute cull
@@ -218,8 +219,12 @@ def make_occupancy_renderer(pipeline: Pipeline, cap_fraction: float = 0.25,
         vals, fg = jax.lax.top_k(scores, K)
         # budget saturation: if even the K-th selected ray is clearly occupied
         # there may be MORE foreground rays than the budget — the round-2
-        # silent 1.3 dB narrow-batch loss. Make it loud.
-        if K < R:
+        # silent 1.3 dB narrow-batch loss. Make it loud. The lax.cond +
+        # debug.print pair is a HOST CALLBACK inside the jitted program; over
+        # the axon tunnel it costs ~2x the whole render (143 vs 57 ms at
+        # 128x128), so hot paths (bench, cli/inference — which pre-checks the
+        # budget host-side against the derived safe cap) disable it.
+        if K < R and warn_saturation:
             jax.lax.cond(
                 vals[K - 1] > occupancy.OCC_THRESHOLD,
                 lambda: jax.debug.print(
