@@ -52,7 +52,7 @@ def test_train_cli_renders_inference_gif(tmp_path):
     np.testing.assert_allclose(out2, out, atol=1e-6)
 
 
-def test_inference_fast2_per_pose_grids_and_auto_cap(tmp_path):
+def test_inference_fast2_per_pose_grids_and_auto_cap(tmp_path, capsys):
     """fast=2 with a pose-VARYING dataset and a fine pass: per-image grids +
     the round-3 automatic cull-budget derivation, through the CLI path."""
     from smpl_nerf_tpu.cli.train import train
@@ -89,3 +89,9 @@ def test_inference_fast2_per_pose_grids_and_auto_cap(tmp_path):
     auto = render_dataset(args, extras, log_dir, data, fast=2,
                           cap_fraction=0.0, batch_size=50)
     assert auto.shape == full.shape and np.isfinite(auto).all()
+    # an explicit cap BELOW the derived safe budget must warn loudly
+    # host-side (the in-jit saturation callback is disabled on this path)
+    capsys.readouterr()
+    render_dataset(args, extras, log_dir, data, fast=2, cap_fraction=0.02,
+                   batch_size=50)
+    assert "below the derived safe cull budget" in capsys.readouterr().out
