@@ -421,6 +421,16 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         """
         K = cfg.images_per_batch
         n_img = extras["num_images"]
+        # when the (dummy) estimator carries a per-image pose table in its
+        # params, size the lookup from THAT table — the params may hold a
+        # different split's poses than the pipeline was built with (the
+        # solver swaps in the val split's table for validation; reference
+        # train.py:212,246 scores val images against TRAIN poses instead)
+        est = params.get("smpl_estimator") if hasattr(params, "get") else None
+        if est is not None:
+            tbl = est.get("constants", {}).get("goal_poses")
+            if tbl is not None:
+                n_img = tbl.shape[0]
         if K and K < n_img:
             uniq = jnp.unique(image_indices, size=K, fill_value=-1)
             img_ids = jnp.maximum(uniq, 0)

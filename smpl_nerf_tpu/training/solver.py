@@ -103,6 +103,36 @@ def nan_report(tree, name: str = "params") -> str:
     return "\n".join(lines)
 
 
+def swap_pose_table(params, goal_poses):
+    """Params with the dummy estimator's per-image pose table replaced.
+
+    The table under smpl_estimator/constants/goal_poses holds the poses of
+    the split the run was TRAINED on, but image_indices are split-LOCAL —
+    evaluating a different split (validation, inference scoring) must look
+    up that split's own poses. The reference instead scores val images
+    against train-table rows of the same index (train.py:212,246 builds the
+    estimator from train_data.goal_poses and never swaps) — a bug we do not
+    reproduce. No-op for models without a table (CNN / image-wise
+    estimators) or when goal_poses is None.
+    """
+    if goal_poses is None or not hasattr(params, "get"):
+        return params
+    est = params.get("smpl_estimator")
+    if est is None or "goal_poses" not in dict(est).get("constants", {}):
+        return params
+    old = est["constants"]["goal_poses"]
+    table = jnp.asarray(np.asarray(goal_poses, np.float32))
+    if hasattr(old, "sharding"):
+        # keep the (replicated) placement of the original table so the
+        # swapped tree still matches the jitted step's sharding expectations
+        table = jax.device_put(table, old.sharding)
+    out = dict(params)
+    out["smpl_estimator"] = dict(est)
+    out["smpl_estimator"]["constants"] = dict(est["constants"])
+    out["smpl_estimator"]["constants"]["goal_poses"] = table
+    return out
+
+
 def gather_batch_np(arrays: Dict[str, np.ndarray], idx: np.ndarray) -> dict:
     """Host-side (numpy) twin of gather_batch — multi-host batch assembly
     gathers rows on the host and ships only each process's slice to device."""
@@ -476,6 +506,9 @@ class Solver:
         model_type = args.model_type
         arrays = self._device_arrays(train_data, model_type)
         val_arrays = self._device_arrays(val_data, model_type)
+        # dynamic-family validation must look poses up in the VAL split's
+        # table (image_indices are split-local) — see swap_pose_table
+        self._val_goal_poses = getattr(val_data, "human_poses", None)
         n = train_data.num_rays
         bs = mesh_mod.pad_to_multiple(int(args.batchsize), self.n_data)
         steps_per_epoch = int(getattr(args, "steps_per_epoch", 0)) or max(1, n // bs)
@@ -680,6 +713,8 @@ class Solver:
         mesh_epochs = {int(float(f) * int(self.args.num_epochs))
                        for f in getattr(self.args, "mesh_epochs", []) or []}
         warp_cloud = epoch in mesh_epochs
+        eval_params = swap_pose_table(self.eval_params,
+                                      getattr(val_data, "human_poses", None))
         renders, gts, warps, densities, samples = [], [], None, [], []
         for i in range(n_img):
             rgb_img, warp_img = [], []
@@ -689,7 +724,7 @@ class Solver:
                 if pad:
                     idx = np.concatenate([idx, np.full(pad, idx[-1])])
                 batch = self._gather_batch(val_arrays, idx)
-                out = self._debug_render_step(self.eval_params, batch)
+                out = self._debug_render_step(eval_params, batch)
                 take = bs - pad
                 rgb_img.append(np.asarray(out["rgb_fine"])[:take])
                 if "warp" in out:
@@ -750,6 +785,8 @@ class Solver:
         comparison includes one unbiased measurement; full-set scores come
         from cli/inference.py either way.
         """
+        eval_params = swap_pose_table(self.eval_params,
+                                      getattr(self, "_val_goal_poses", None))
         val_rays = int(getattr(self.args, "val_rays", 0) or 0)
         if not full and 0 < val_rays < n_val:
             stride = n_val / val_rays
@@ -774,7 +811,7 @@ class Solver:
             mask = np.zeros(bs, np.float32)
             mask[:n_real] = 1.0
             batch = self._gather_batch(val_arrays, idx)
-            aux = self._eval_step(self.eval_params, batch, self._shard_rows(mask))
+            aux = self._eval_step(eval_params, batch, self._shard_rows(mask))
             total += float(aux["loss"]) * n_real
             weight += n_real
         return total / weight if weight else float("nan")
@@ -795,6 +832,11 @@ class Solver:
         """
         model_type = model_type or self.args.model_type
         arrays = self._device_arrays(data, model_type)
+        # dynamic-family scoring: image_indices are split-local, so the
+        # estimator must carry THIS split's pose table (the restored params
+        # hold the table of the split the run was trained on)
+        eval_params = swap_pose_table(self.eval_params,
+                                      getattr(data, "human_poses", None))
         n = data.num_rays
         bs = batch_size or mesh_mod.pad_to_multiple(
             int(self.args.batchsize_val), self.n_data)
@@ -825,9 +867,9 @@ class Solver:
                     self._check_batch_images(idx, img_idx_np)
                 batch = self._gather_batch(arrays, idx)
                 if fn is not None:
-                    rgb_fine = fn(self.eval_params, batch)
+                    rgb_fine = fn(eval_params, batch)
                 else:
-                    _, rgb_fine = self._render_step(self.eval_params, batch)
+                    _, rgb_fine = self._render_step(eval_params, batch)
                 out[lo:lo + bs - pad] = np.asarray(rgb_fine)[:bs - pad]
         return out
 

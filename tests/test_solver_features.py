@@ -394,3 +394,78 @@ def test_broadcast_file_single_process(tmp_path):
     import io
     blob = np.load(io.BytesIO(data))
     assert blob["x"].tolist() == [0, 1, 2]
+
+
+def test_val_split_pose_table_swap(ds):
+    """Dynamic-family eval must look poses up in the VAL split's OWN table.
+
+    image_indices are split-local, but the dummy estimator's goal_poses table
+    holds the TRAIN split's poses (reference train.py:212,246 builds the
+    estimator from train_data.goal_poses and never swaps — val images are
+    scored against train-table rows of the same index). swap_pose_table
+    replaces the table for validation / rendering; this pins both the
+    mechanics and the solver wiring.
+    """
+    from smpl_nerf_tpu.training.solver import swap_pose_table
+    args, _ = _args(ds, model_type="dummy_dynamic", warp_radius=0.05,
+                    steps_per_epoch=1)
+    args.model_type = "dummy_dynamic"
+    args._smpl_model = smpl_mod.procedural_human(rings=3, segments=6)
+    train_data = datasets.load_dataset(os.path.join(ds, "train"),
+                                       "dummy_dynamic", args)
+    val_data = datasets.load_dataset(os.path.join(ds, "val"),
+                                     "dummy_dynamic", args)
+    extras = {"num_images": train_data.num_images, "betas": train_data.betas,
+              "goal_poses": train_data.human_poses,
+              "smpl_model": args._smpl_model,
+              "num_vertices": args._smpl_model.num_vertices}
+    models, params, encoders = build_models_and_params(
+        args, jax.random.PRNGKey(0), extras)
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders,
+                              extras)
+    solver = Solver(pipeline, params, args)
+
+    # mechanics: exactly the table leaf is replaced; estimator.apply on the
+    # swapped tree returns the val poses; None / table-less trees are no-ops
+    swapped = swap_pose_table(solver.params, val_data.human_poses)
+    np.testing.assert_allclose(
+        np.asarray(swapped["smpl_estimator"]["constants"]["goal_poses"]),
+        val_data.human_poses)
+    got = models["smpl_estimator"].apply(
+        swapped["smpl_estimator"], jnp.arange(val_data.num_images))
+    np.testing.assert_allclose(np.asarray(got), val_data.human_poses)
+    assert swapped["model_coarse"] is solver.params["model_coarse"]
+    assert swap_pose_table(solver.params, None) is solver.params
+    assert swap_pose_table({"model_coarse": {}}, val_data.human_poses) \
+        == {"model_coarse": {}}
+
+    # wiring: every _validate call inside train() sees the VAL table while
+    # the training weights keep the TRAIN table
+    seen = []
+    orig_eval = solver._eval_step
+
+    def spy(p, batch, mask):
+        seen.append(np.asarray(p["smpl_estimator"]["constants"]["goal_poses"]))
+        return orig_eval(p, batch, mask)
+
+    solver._eval_step = spy
+    solver.train(train_data, val_data)
+    assert seen, "validation never ran"
+    for tbl in seen:
+        assert tbl.shape[0] == val_data.num_images
+        np.testing.assert_allclose(tbl, val_data.human_poses)
+    np.testing.assert_allclose(
+        np.asarray(solver.params["smpl_estimator"]["constants"]["goal_poses"]),
+        train_data.human_poses)
+
+    # render_rays_batched on the val split uses the val table too
+    seen_r = []
+    orig_render = solver._render_step
+
+    def spy_r(p, batch):
+        seen_r.append(np.asarray(p["smpl_estimator"]["constants"]["goal_poses"]))
+        return orig_render(p, batch)
+
+    solver._render_step = spy_r
+    solver.render_rays_batched(val_data, batch_size=64)
+    assert seen_r and all(t.shape[0] == val_data.num_images for t in seen_r)
