@@ -13,8 +13,13 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-LEFT_ARM_JOINT = 41
-RIGHT_ARM_JOINT = 38
+# body_pose dims: 38 = SMPL joint 13 (L collar) z-axis, 41 = joint 14
+# (R collar) z-axis. The reference assembles the pose as
+# [canonical(0:38), arm_angle_l, canonical(39:41), arm_angle_r,
+# canonical(42:69)] (dummy_image_wise_estimator.py:33) and reports
+# (l - gt[38])^2 + (r - gt[41])^2 (image_wise_solver.py:125-128).
+LEFT_ARM_JOINT = 38
+RIGHT_ARM_JOINT = 41
 
 
 class DummySmplEstimatorModel(nn.Module):
