@@ -206,4 +206,9 @@ def train_image_wise(args, parser, train_data, val_data, extras,
     if log_dir:
         os.makedirs(log_dir, exist_ok=True)
         checkpoints.save_run(log_dir, final, args, parser, args.dataset_dir)
+        import json
+        with open(os.path.join(log_dir, "pose_errors.json"), "w") as fh:
+            json.dump({"pose_errors": pose_errors,
+                       "best": min(pose_errors) if pose_errors else None,
+                       "final": pose_errors[-1] if pose_errors else None}, fh)
     return final, pose_errors
