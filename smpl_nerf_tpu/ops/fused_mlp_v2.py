@@ -74,12 +74,18 @@ def _tile_forward(spec: MlpSpec, enc_mats, flat, x_raw: jnp.ndarray) -> jnp.ndar
     cdt = jnp.dtype(spec.dtype)
     Mp, Pp, Md, Pd = enc_mats
     add = spec.additional_input_dim
-    prefix = x_raw[:, :add].astype(cdt)
     p3 = x_raw[:, add:add + 3]
     d3 = x_raw[:, add + 3:add + 6]
     pos_e = jnp.sin(jnp.dot(p3, Mp, preferred_element_type=jnp.float32) + Pp)
     dir_e = jnp.sin(jnp.dot(d3, Md, preferred_element_type=jnp.float32) + Pd)
-    pos = jnp.concatenate([prefix, pos_e.astype(cdt)], -1) if add else pos_e.astype(cdt)
+    if add:
+        # build the zero-width slice ONLY when it is non-empty: Mosaic cannot
+        # lower [T, 0] vectors ("must have positive constant sizes") even
+        # though interpret mode accepts them
+        prefix = x_raw[:, :add].astype(cdt)
+        pos = jnp.concatenate([prefix, pos_e.astype(cdt)], -1)
+    else:
+        pos = pos_e.astype(cdt)
     dirs = dir_e.astype(cdt)
 
     it = iter(flat)
@@ -230,14 +236,41 @@ def _v2_bwd(spec, res, g):
 _fused_mlp_v2.defvjp(_v2_fwd, _v2_bwd)
 
 
+_SCOPED_VMEM_BYTES = 16 * 1024 * 1024
+
+
+def vmem_feasible(spec: MlpSpec) -> bool:
+    """Both v2 kernels keep ALL weights (and, backward, all dW accumulators)
+    VMEM-resident — feasible for the reference's W=256 nets, structurally NOT
+    for W≥1024 (11 f32 1024² blocks ≈ 44 MB vs the 16 MB scoped VMEM limit;
+    measured on-chip round 3, RESULTS.md roofline table). Estimate the
+    backward's weights + dW + one activation tile and compare."""
+    w = spec.width
+    per_layer = w * w + w
+    n_dense = 2 + spec.n_layers - 1 + 4  # in/skip chain + heads, upper bound
+    weight_bytes = 4 * n_dense * per_layer
+    tile_bytes = 4 * _TILE_BWD * (spec.additional_input_dim + 6
+                                  + spec.positions_dim + 2 * w)
+    return 2 * weight_bytes + tile_bytes < int(0.85 * _SCOPED_VMEM_BYTES)
+
+
 def fused_apply_raw(spec: MlpSpec, flax_params, x_raw: jnp.ndarray) -> jnp.ndarray:
     """Apply the net to RAW rows [N, additional || xyz(3) || unit dir(3)]."""
+    if not vmem_feasible(spec):
+        raise ValueError(
+            f"fused MLP v2 needs VMEM-resident weights + dW accumulators; "
+            f"width={spec.width} exceeds the ~16 MB scoped VMEM budget "
+            "(fails to compile on real TPU). Use --use_fused_mlp=0 or 1 at "
+            "this width — on this silicon plain XLA is fastest there anyway "
+            "(RESULTS.md roofline).")
     return _fused_mlp_v2(spec, flatten_params(spec, flax_params), x_raw)
 
 
 def supports(spec: MlpSpec, pos_encoder, dir_encoder) -> bool:
-    """v2 handles 3-coord sin/cos encoders without identity blocks."""
+    """v2 handles 3-coord sin/cos encoders without identity blocks, at widths
+    whose weights + dW accumulators fit scoped VMEM (see vmem_feasible)."""
     return (not pos_encoder.include_identity
             and not dir_encoder.include_identity
             and pos_encoder.number_frequencies * 6 == spec.positions_dim
-            and dir_encoder.number_frequencies * 6 == spec.directions_dim)
+            and dir_encoder.number_frequencies * 6 == spec.directions_dim
+            and vmem_feasible(spec))

@@ -96,6 +96,7 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--fg_weight", type=float, default=15.0)
     ap.add_argument("--lrate", type=float, default=2e-4)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -117,7 +118,14 @@ def main():
         t = jnp.take(rgb_tr_d, idx, axis=0)
 
         def loss_fn(p):
-            return jnp.abs(model.apply(p, d) - t).mean()
+            # plain L1 on a ~95%-white human scene collapses to the all-white
+            # fixed point (sigmoid saturation kills the gradients; same
+            # hazard as NeRF's transparent-scene dead-relu, RESULTS.md) —
+            # upweight foreground pixels (any channel below white)
+            err = jnp.abs(model.apply(p, d) - t)
+            fg = (t.min(-1, keepdims=True) < 0.98).astype(jnp.float32)
+            w = 1.0 + args.fg_weight * fg
+            return (err * w).sum() / (w.sum() * 3.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -136,7 +144,7 @@ def main():
                 idx = np.concatenate([idx, perm[:args.batch - len(idx)]])
             params, opt_state, loss = train_step(params, opt_state,
                                                  jnp.asarray(idx))
-        losses.append(float(loss))
+            losses.append(float(loss))
         if epoch % 5 == 0 or epoch == args.epochs - 1:
             print(f"[epoch {epoch}] L1 {np.mean(losses):.5f} "
                   f"({time.time()-t0:.1f}s)")
