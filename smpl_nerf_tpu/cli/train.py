@@ -78,6 +78,7 @@ def train(argv: Optional[list] = None, log_dir: Optional[str] = None,
     extras["betas"] = (train_data.betas if train_data.betas is not None
                        else np.zeros(10, np.float32))
     extras["num_images"] = train_data.num_images
+    extras["image_size"] = train_data.h  # CNN estimator init (square frames)
 
     if args.model_type == "image_wise_dynamic":
         from smpl_nerf_tpu.training.image_wise import train_image_wise
@@ -89,16 +90,6 @@ def train(argv: Optional[list] = None, log_dir: Optional[str] = None,
         params = checkpoints.load_run(args.load_run, params)
         print("Models loaded from", args.load_run)
 
-    cfg = RenderConfig.from_args(args)
-    pipeline = build_pipeline(cfg, models, encoders, extras)
-    canonical_vertices = None
-    if cfg.use_gmm_loss and smpl_model is None and train_data.betas is not None:
-        smpl_model = _smpl_model_for(args)
-    if cfg.use_gmm_loss and smpl_model is not None:
-        import jax.numpy as jnp
-        canonical_vertices = np.asarray(smpl_mod.smpl_forward(
-            smpl_model, jnp.asarray(extras["betas"]).reshape(-1), jnp.zeros(69)))
-
     log_dir = log_dir or _default_log_dir(args)
     os.makedirs(log_dir, exist_ok=True)
     if writer is None:
@@ -108,10 +99,22 @@ def train(argv: Optional[list] = None, log_dir: Optional[str] = None,
         except ImportError:
             writer = None
 
+    # supervised CNN training has no render pipeline — branch BEFORE
+    # build_pipeline (which rejects the model_type)
     if args.model_type == "smpl_estimator":
         from smpl_nerf_tpu.training.estimator import train_estimator
         return train_estimator(args, parser, train_data, val_data, models, params,
                                log_dir, writer)
+
+    cfg = RenderConfig.from_args(args)
+    pipeline = build_pipeline(cfg, models, encoders, extras)
+    canonical_vertices = None
+    if cfg.use_gmm_loss and smpl_model is None and train_data.betas is not None:
+        smpl_model = _smpl_model_for(args)
+    if cfg.use_gmm_loss and smpl_model is not None:
+        import jax.numpy as jnp
+        canonical_vertices = np.asarray(smpl_mod.smpl_forward(
+            smpl_model, jnp.asarray(extras["betas"]).reshape(-1), jnp.zeros(69)))
 
     solver = Solver(pipeline, params, args, canonical_vertices,
                     log_dir=log_dir, writer=writer, parser=parser)

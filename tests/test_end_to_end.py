@@ -268,3 +268,28 @@ def test_render_rays_batched_shape(nerf_dataset):
     out = solver.render_rays_batched(val_data)
     assert out.shape == (val_data.num_rays, 3)
     assert np.isfinite(out).all()
+
+
+def test_smpl_estimator_cli_path(tmp_path):
+    """The train.py CLI must route smpl_estimator BEFORE build_pipeline
+    (which rejects the model_type) and size the CNN from the dataset
+    resolution — both broke silently until round 3."""
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = str(tmp_path / "ds_est_cli")
+    gargs, gparser = _gen_args(d, "smpl_nerf", resolution=32, steps=4)
+    generate.create_dataset(gargs, gparser)
+    r = subprocess.run(
+        [sys.executable, "train.py", "--config=/dev/null",
+         "--model_type=smpl_estimator", f"--dataset_dir={d}",
+         "--num_epochs=1", "--batchsize=3", "--lrate=1e-3",
+         "--render_gif=0", "--experiment_name=est_cli_test"],
+        capture_output=True, text=True, cwd=repo,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "[estimator epoch 0]" in r.stdout
+    import glob as glob_mod
+    import shutil
+    for rd in glob_mod.glob(os.path.join(repo, "runs", "*est_cli_test")):
+        shutil.rmtree(rd, ignore_errors=True)
