@@ -9,7 +9,7 @@
 set -e
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_comp_cache}
 
-DYN_RUN=${DYN_RUN:-$(ls -d runs/*dynamic_256* | tail -1)}
+DYN_RUN=${DYN_RUN:-$(ls -dt runs/*dynamic_256* | head -1)}
 echo "scoring dynamic run: $DYN_RUN"
 python inference.py --inf_run_dir="$DYN_RUN" \
     --inf_ground_truth_dir=data/walking_256/val \

@@ -78,7 +78,7 @@ def train(argv: Optional[list] = None, log_dir: Optional[str] = None,
     extras["betas"] = (train_data.betas if train_data.betas is not None
                        else np.zeros(10, np.float32))
     extras["num_images"] = train_data.num_images
-    extras["image_size"] = train_data.h  # CNN estimator init (square frames)
+    extras["image_size"] = (train_data.h, train_data.w)  # CNN estimator init
 
     if args.model_type == "image_wise_dynamic":
         from smpl_nerf_tpu.training.image_wise import train_image_wise

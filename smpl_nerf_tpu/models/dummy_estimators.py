@@ -38,7 +38,8 @@ class DummyImageWiseEstimator(nn.Module):
 
     __call__ ignores its input (matches the reference contract where the
     estimator is called with a dummy tensor) and returns the current [1, 69]
-    body pose with the two trainable angles written into joints 41/38.
+    body pose with arm_angle_l written into dim 38 and arm_angle_r into
+    dim 41 (the reference's assembly order — see the module constants).
     """
     canonical_pose: np.ndarray       # [69] frozen base pose
     initial_arm_angle_l: float = 0.0

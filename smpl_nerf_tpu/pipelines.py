@@ -96,6 +96,22 @@ def build_encoders(args) -> Dict[str, PositionalEncoder]:
     }
 
 
+def get_pose_table(params):
+    """The dummy estimator's per-image goal_poses table in `params`, or None.
+
+    Single source of truth for the params-tree location of the table —
+    shared by the dynamic pipeline's lookup sizing and the solver's
+    val-split table swap (training/solver.swap_pose_table) so the two can
+    never drift apart.
+    """
+    if not hasattr(params, "get"):
+        return None
+    est = params.get("smpl_estimator")
+    if est is None:
+        return None
+    return dict(est).get("constants", {}).get("goal_poses")
+
+
 def _normalize(v: jnp.ndarray) -> jnp.ndarray:
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
@@ -154,6 +170,12 @@ def _make_net_runner(cfg, models, encoders):
             continue
         spec = fused_mod.spec_from_model(model)
         if cfg.use_fused_mlp >= 2:
+            if not fused_v2.vmem_feasible(spec):
+                raise ValueError(
+                    f"--use_fused_mlp=2: width={spec.width} exceeds the v2 "
+                    "kernels' ~16 MB scoped-VMEM budget for VMEM-resident "
+                    "weights + dW accumulators (fails to compile on real "
+                    "TPU) — use --use_fused_mlp=0 or 1 at this width")
             if not fused_v2.supports(spec, pos_enc, dir_enc):
                 raise ValueError(
                     "--use_fused_mlp=2 needs 3-coord sin/cos encoders without "
@@ -426,11 +448,9 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
         # different split's poses than the pipeline was built with (the
         # solver swaps in the val split's table for validation; reference
         # train.py:212,246 scores val images against TRAIN poses instead)
-        est = params.get("smpl_estimator") if hasattr(params, "get") else None
-        if est is not None:
-            tbl = est.get("constants", {}).get("goal_poses")
-            if tbl is not None:
-                n_img = tbl.shape[0]
+        tbl = get_pose_table(params)
+        if tbl is not None:
+            n_img = tbl.shape[0]
         if K and K < n_img:
             uniq = jnp.unique(image_indices, size=K, fill_value=-1)
             img_ids = jnp.maximum(uniq, 0)

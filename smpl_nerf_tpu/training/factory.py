@@ -144,9 +144,10 @@ def build_models_and_params(args, rng: jax.Array, extras: Optional[Dict[str, Any
     if "smpl_estimator" in models:
         est = models["smpl_estimator"]
         if isinstance(est, SmplEstimator):
-            size = int(extras.get("image_size", 128))  # 5 maxpools -> min 32
+            size = extras.get("image_size", 128)  # 5 maxpools -> min 32/side
+            h, w = (size, size) if np.isscalar(size) else size
             params["smpl_estimator"] = est.init(
-                next(key_iter), jnp.zeros((1, size, size, 3), jnp.float32))
+                next(key_iter), jnp.zeros((1, int(h), int(w), 3), jnp.float32))
         elif isinstance(est, DummySmplEstimatorModel):
             params["smpl_estimator"] = est.init(next(key_iter), jnp.asarray([0]))
         else:  # DummyImageWiseEstimator

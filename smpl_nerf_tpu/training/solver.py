@@ -32,6 +32,7 @@ import optax
 
 from smpl_nerf_tpu.core.gmm import GaussianMixture
 from smpl_nerf_tpu.parallel import mesh as mesh_mod
+from smpl_nerf_tpu import pipelines as pipelines_mod
 from smpl_nerf_tpu.pipelines import Pipeline
 
 
@@ -115,12 +116,12 @@ def swap_pose_table(params, goal_poses):
     reproduce. No-op for models without a table (CNN / image-wise
     estimators) or when goal_poses is None.
     """
-    if goal_poses is None or not hasattr(params, "get"):
+    if goal_poses is None:
         return params
-    est = params.get("smpl_estimator")
-    if est is None or "goal_poses" not in dict(est).get("constants", {}):
+    old = pipelines_mod.get_pose_table(params)
+    if old is None:
         return params
-    old = est["constants"]["goal_poses"]
+    est = params["smpl_estimator"]
     table = jnp.asarray(np.asarray(goal_poses, np.float32))
     if hasattr(old, "sharding"):
         # keep the (replicated) placement of the original table so the

@@ -144,9 +144,11 @@ def main():
                 idx = np.concatenate([idx, perm[:args.batch - len(idx)]])
             params, opt_state, loss = train_step(params, opt_state,
                                                  jnp.asarray(idx))
-            losses.append(float(loss))
+            # keep the DEVICE array: float() here would sync every step and
+            # serialize dispatch over the tunnel; convert at the epoch print
+            losses.append(loss)
         if epoch % 5 == 0 or epoch == args.epochs - 1:
-            print(f"[epoch {epoch}] L1 {np.mean(losses):.5f} "
+            print(f"[epoch {epoch}] L1 {np.mean([float(l) for l in losses]):.5f} "
                   f"({time.time()-t0:.1f}s)")
 
     apply_jit = jax.jit(model.apply)
