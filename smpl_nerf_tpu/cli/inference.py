@@ -90,7 +90,7 @@ def _worst_batch_count(fg: np.ndarray, bs: int) -> int:
 
 def _auto_cap_fraction(pipeline, params, data, poses, per_pose: bool,
                        batch_size: int, safety: float = 1.2,
-                       slack: int = 64) -> float:
+                       slack: int = 64, return_grids: bool = False):
     """Derive the occupancy cull budget from probe counts (VERDICT round-2 #6).
 
     Replays the exact batch chunking render_rays_batched will use (per-image
@@ -100,15 +100,29 @@ def _auto_cap_fraction(pipeline, params, data, poses, per_pose: bool,
     margin, so a narrow row-band batch crossing the subject can no longer
     exhaust a fixed 25% budget and silently paint foreground as background.
     Cost: one grid bake per distinct pose + pure probe work — no MLP rays.
+
+    `batch_size` must be the PADDED batch the renderer will actually use
+    (mesh_mod.pad_to_multiple of --inf_batchsize) — replaying with the raw
+    size would drift the window boundaries and undersize K on multi-device
+    runs. Scoring runs in bs-aligned chunks so a whole span is never
+    materialized on device at once. With return_grids=True also returns the
+    host-side baked grids keyed like the spans (per-image list, or a
+    single-element list for the shared-grid case) for the renderer to reuse
+    instead of baking every pose twice.
     """
     from smpl_nerf_tpu.render import fast as fast_mod
 
-    probe = fast_mod.make_occupancy_renderer(pipeline, cap_fraction=1.0)
+    probe = fast_mod.make_occupancy_renderer(pipeline, cap_fraction=1.0,
+                                             warn_saturation=False,
+                                             warn_background=False)
     if getattr(probe, "threshold", None) is None:
-        return 1.0  # fallback families render the full pipeline anyway
+        return (1.0, None) if return_grids else 1.0
     build_jit = jax.jit(probe.build_grid)
     scores_jit = jax.jit(probe.ray_scores)
     n, bs = data.num_rays, batch_size
+    # bs-aligned scoring chunks: bound device memory on big datasets while
+    # keeping window boundaries identical to the render's batches
+    chunk = bs * max(1, 65536 // bs)
     origins, dirs = data.origins, data.directions
     if per_pose:
         hw = n // max(1, data.num_images)
@@ -116,6 +130,7 @@ def _auto_cap_fraction(pipeline, params, data, poses, per_pose: bool,
     else:
         spans = [(0, n, None)]
     shared_grid = None
+    grids = [] if return_grids else None
     max_count = 0
     for lo_s, hi_s, img_i in spans:
         if img_i is not None:
@@ -127,15 +142,21 @@ def _auto_cap_fraction(pipeline, params, data, poses, per_pose: bool,
                           if poses is not None else {})
                 shared_grid = build_jit(params, gbatch)
             grid = shared_grid
-        fg = np.asarray(scores_jit(grid, jnp.asarray(origins[lo_s:hi_s]),
-                                   jnp.asarray(dirs[lo_s:hi_s]))
-                        ) > probe.threshold
+        if grids is not None and (img_i is not None or not grids):
+            grids.append(jax.device_get(grid))
+        fg_parts = []
+        for lo in range(lo_s, hi_s, chunk):
+            hi = min(lo + chunk, hi_s)
+            fg_parts.append(np.asarray(
+                scores_jit(grid, jnp.asarray(origins[lo:hi]),
+                           jnp.asarray(dirs[lo:hi]))) > probe.threshold)
+        fg = np.concatenate(fg_parts) if len(fg_parts) > 1 else fg_parts[0]
         max_count = max(max_count, _worst_batch_count(fg, bs))
     k = min(bs, int(max_count * safety) + slack)
     cap = k / bs
     print(f"auto cull budget: worst batch has {max_count}/{bs} foreground "
           f"rays -> cap_fraction={cap:.3f}")
-    return cap
+    return (cap, grids) if return_grids else cap
 
 
 def render_dataset(args, extras, run_dir: str, data, fast: int = 0,
@@ -166,6 +187,7 @@ def render_dataset(args, extras, run_dir: str, data, fast: int = 0,
     solver = Solver(pipeline, params, args)
     render_fn = render_fn_per_image = None
     if int(fast) >= 2:
+        from smpl_nerf_tpu.parallel import mesh as mesh_mod
         from smpl_nerf_tpu.render import fast as fast_mod
         poses = data.human_poses
         # the baked grid depends on the body pose only for the conditioned
@@ -176,9 +198,13 @@ def render_dataset(args, extras, run_dir: str, data, fast: int = 0,
                     and bool(int(args.run_fine)))
         per_pose = (pose_dep and poses is not None
                     and not bool(np.all(poses == poses[:1])))
-        derived = _auto_cap_fraction(
-            pipeline, params, data, poses, per_pose,
-            batch_size or int(args.batchsize_val))
+        # replay with the PADDED batch render_rays_batched will actually use —
+        # the raw size would drift window boundaries on multi-device runs
+        bs_padded = mesh_mod.pad_to_multiple(
+            batch_size or int(args.batchsize_val), solver.n_data)
+        derived, baked_grids = _auto_cap_fraction(
+            pipeline, params, data, poses, per_pose, bs_padded,
+            return_grids=True)
         if cap_fraction <= 0:
             cap_fraction = derived
         elif cap_fraction < derived:
@@ -195,19 +221,27 @@ def render_dataset(args, extras, run_dir: str, data, fast: int = 0,
         occ_jit = jax.jit(occ)
         build_jit = jax.jit(occ.build_grid)
         if per_pose:
-            # pose-varying dataset: bake ONE grid per image (render batches
-            # are image-aligned so no batch mixes poses, and the bake is
-            # amortized over the whole image instead of every batch)
+            # pose-varying dataset: ONE grid per image (render batches are
+            # image-aligned so no batch mixes poses). The budget pre-pass
+            # already baked every grid — re-upload its host copy instead of
+            # paying the G^3 MLP lattice a second time; only one device grid
+            # is alive at a time either way.
             def render_fn_per_image(i):
-                grid = build_jit(params,
-                                 {"human_pose": jnp.asarray(poses[i:i + 1])})
+                if baked_grids is not None:
+                    grid = jax.device_put(baked_grids[i])
+                else:
+                    grid = build_jit(params,
+                                     {"human_pose": jnp.asarray(poses[i:i + 1])})
                 return lambda p, b: occ_jit(p, b, grid)
         else:
             # one shared body pose (novel camera paths) or pose-independent
             # model: bake the grid ONCE and reuse it across all batches
-            gbatch = ({"human_pose": jnp.asarray(poses[:1])}
-                      if poses is not None else {})
-            grid = build_jit(params, gbatch)
+            if baked_grids:
+                grid = jax.device_put(baked_grids[0])
+            else:
+                gbatch = ({"human_pose": jnp.asarray(poses[:1])}
+                          if poses is not None else {})
+                grid = build_jit(params, gbatch)
             render_fn = lambda p, b: occ_jit(p, b, grid)
     elif fast:
         from smpl_nerf_tpu.render.fast import make_fast_renderer

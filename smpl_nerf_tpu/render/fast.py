@@ -115,7 +115,8 @@ def make_fast_renderer(pipeline: Pipeline, cap_fraction: float = 0.25):
 def make_occupancy_renderer(pipeline: Pipeline, cap_fraction: float = 0.25,
                             grid_resolution: int = 64,
                             aabb=None, n_probe=None,
-                            warn_saturation: bool = True):
+                            warn_saturation: bool = True,
+                            warn_background: bool = True):
     """Occupancy-grid culled renderer: no MLP work at all on background rays.
 
     make_fast_renderer still runs the coarse MLP on EVERY ray to compute cull
@@ -157,7 +158,9 @@ def make_occupancy_renderer(pipeline: Pipeline, cap_fraction: float = 0.25,
         render_fallback.build_grid = lambda params, batch: None
         render_fallback.ray_scores = lambda grid, origins, dirs: None
         return render_fallback
-    if not cfg.white_background:
+    # warn_background=False for secondary probe instances (e.g. the
+    # cull-budget pre-pass) so the advisory fires once per render call
+    if not cfg.white_background and warn_background:
         import warnings
         warnings.warn(
             "make_occupancy_renderer: the run was trained WITHOUT "

@@ -196,6 +196,14 @@ def test_auto_cap_fraction_covers_saturated_scene(rng):
     cap = inf_mod._auto_cap_fraction(pipeline, p, data, None, False,
                                      batch_size=32)
     assert cap == 1.0
+    # grids round-trip: return_grids hands back host copies the renderer
+    # can re-upload instead of re-baking
+    cap2, grids = inf_mod._auto_cap_fraction(pipeline, p, data, None, False,
+                                             batch_size=32, return_grids=True)
+    assert cap2 == cap and grids is not None and len(grids) == 1
+
+
+def test_occupancy_render_fallback_coarse_only(rng):
     pipeline, params = _make(run_fine=0)
     batch = _batch(rng)
     render = _occ_renderer(pipeline)
