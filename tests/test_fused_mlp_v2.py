@@ -153,3 +153,30 @@ def test_v2_pipeline_matches_plain(rng, model_type, extra):
                                np.asarray(out0["rgb_coarse"]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(out2["rgb_fine"]),
                                np.asarray(out0["rgb_fine"]), atol=2e-4)
+
+
+def test_vmem_feasibility_bound():
+    """v2 self-bounds to widths whose weights + dW accumulators fit scoped
+    VMEM: W=256 (the reference net) passes, W>=384 is rejected — and
+    build_pipeline surfaces the width-specific error, not the encoder one."""
+    import pytest
+
+    from smpl_nerf_tpu.ops.fused_mlp import MlpSpec
+    from smpl_nerf_tpu.ops.fused_mlp_v2 import vmem_feasible
+
+    assert vmem_feasible(MlpSpec(width=256))
+    assert not vmem_feasible(MlpSpec(width=384))
+    assert not vmem_feasible(MlpSpec(width=1024))
+
+    import jax
+
+    from smpl_nerf_tpu import config as config_mod
+    from smpl_nerf_tpu.pipelines import RenderConfig, build_pipeline
+    from smpl_nerf_tpu.training.factory import build_models_and_params
+    p = config_mod.config_parser()
+    args = p.parse_args(["--config=/dev/null", "--model_type=nerf",
+                         "--dataset_dir=x", "--netwidth=1024",
+                         "--netwidth_fine=1024", "--use_fused_mlp=2"])
+    models, params, enc = build_models_and_params(args, jax.random.PRNGKey(0), {})
+    with pytest.raises(ValueError, match="scoped-VMEM"):
+        build_pipeline(RenderConfig.from_args(args), models, enc, {})
