@@ -47,3 +47,8 @@ run_stage ablation_nofine_walking --number_coarse_samples=64 --run_fine=0
 # no view-direction input
 run_stage ablation_novdi --number_coarse_samples=64 --number_fine_samples=128 \
     --run_fine=1 --skips_fine=4 --use_directional_input=0
+
+# no positional encoding (raw xyz positions; paper Table-2 row 2)
+run_stage ablation_nope --number_coarse_samples=64 --number_fine_samples=128 \
+    --run_fine=1 --skips_fine=4 --number_frequencies_postitional=0 \
+    --use_identity_positional=1
