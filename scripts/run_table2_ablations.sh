@@ -20,8 +20,11 @@ run_stage () {  # $1 = experiment name, rest = extra flags
   local NAME=$1; shift
   local TARGET=${TARGET_EPOCHS:-50}
   local RUN RESUME DONE LEFT
-  RUN=$(ls -dt runs/*${NAME}* 2>/dev/null | head -1 || true)
-  if [ -n "$RUN" ] && [ -f "$RUN/train_state.npz" ]; then
+  # newest run dir that actually has a resumable checkpoint (an interrupted
+  # resume can leave a newer dir with no train_state yet)
+  RUN=$(for d in $(ls -dt runs/*${NAME}* 2>/dev/null); do
+          [ -f "$d/train_state.npz" ] && { echo "$d"; break; }; done)
+  if [ -n "$RUN" ]; then
     DONE=$(python -c "import numpy as np; print(int(np.load('$RUN/train_state.npz')['epoch'])+1)")
     RESUME="--load_run=$RUN"
   else
