@@ -55,3 +55,11 @@ run_stage ablation_novdi --number_coarse_samples=64 --number_fine_samples=128 \
 run_stage ablation_nope --number_coarse_samples=64 --number_fine_samples=128 \
     --run_fine=1 --skips_fine=4 --number_frequencies_postitional=0 \
     --use_identity_positional=1
+
+# no PE + no VDI + no FS together (paper Table-2 row 1: 30.731).
+# Distinct name (no substring overlap with the stages above — run_stage
+# globs runs/*NAME*, so e.g. "ablation_nope_nofine" would shadow
+# "ablation_nope"'s newest-run lookup).
+run_stage ablation_bare_walking --number_coarse_samples=64 --run_fine=0 \
+    --use_directional_input=0 --number_frequencies_postitional=0 \
+    --use_identity_positional=1
