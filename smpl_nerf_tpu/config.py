@@ -200,6 +200,12 @@ def config_parser() -> ConfigArgumentParser:
                              "thousand steps (original-NeRF schedule; the "
                              "reference keeps lr constant — 0 reproduces that)")
     parser.add_argument("--lrate_pose", type=float, default=0.1)
+    parser.add_argument("--lrate_pose_decay", type=int, default=0,
+                        help=">0: exponential decay to 0.1x over this many "
+                             "thousand steps for the pose/estimator param "
+                             "group only (the reference keeps lrate_pose "
+                             "constant, which leaves analysis-by-synthesis "
+                             "orbiting the basin floor — see RESULTS.md)")
     parser.add_argument("--param_ema", type=float, default=0.0,
                         help=">0 (e.g. 0.999): keep an exponential moving "
                              "average of the weights and use it for "

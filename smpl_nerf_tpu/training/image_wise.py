@@ -136,8 +136,16 @@ def train_image_wise(args, parser, train_data, val_data, extras,
     # (train.py:253-259); otherwise ImageWiseSolver co-trains model_coarse at
     # the base lrate alongside the pose params (image_wise_solver.py:32-36)
     nerf_label = "frozen" if args.load_coarse_model else "net"
+    pose_lr = float(args.lrate_pose)
+    pose_decay_k = int(getattr(args, "lrate_pose_decay", 0) or 0)
+    if pose_decay_k > 0:
+        # same schedule as solver.make_optimizer: 0.1x over dk*1000 steps.
+        # A constant lrate_pose reaches the basin floor but then orbits it
+        # (RESULTS.md: 0.28deg/joint best at ep12, 0.6-4.6deg bounce after);
+        # the decay pins the estimate at the floor.
+        pose_lr = optax.exponential_decay(pose_lr, pose_decay_k * 1000, 0.1)
     tx = optax.multi_transform(
-        {"pose": optax.adam(float(args.lrate_pose)),
+        {"pose": optax.adam(pose_lr),
          "net": optax.adam(float(args.lrate)),
          "frozen": optax.set_to_zero()},
         jax.tree_util.tree_map_with_path(

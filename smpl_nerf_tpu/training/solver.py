@@ -214,13 +214,15 @@ def make_optimizer(params, args, model_type: str,
     lrate_pose = float(args.lrate_pose)
     wd = float(getattr(args, "weight_decay", 0) or 0)
     decay_k = int(getattr(args, "lrate_decay", 0) or 0)
+    pose_decay_k = int(getattr(args, "lrate_pose_decay", 0) or 0)
 
-    def base_opt(lr):
+    def base_opt(lr, dk=None):
         if lr == 0.0:
             return optax.set_to_zero()
-        if decay_k > 0:
-            # original-NeRF schedule: lr * 0.1^(step / (decay_k * 1000))
-            lr = optax.exponential_decay(lr, decay_k * 1000, 0.1)
+        dk = decay_k if dk is None else dk
+        if dk > 0:
+            # original-NeRF schedule: lr * 0.1^(step / (dk * 1000))
+            lr = optax.exponential_decay(lr, dk * 1000, 0.1)
         if wd > 0:
             return optax.adamw(lr, weight_decay=wd)
         return optax.adam(lr)
@@ -240,7 +242,8 @@ def make_optimizer(params, args, model_type: str,
 
     labels = jax.tree_util.tree_map_with_path(lambda path, _: label(path), params)
     return optax.multi_transform(
-        {"net": base_opt(lrate), "pose": base_opt(lrate_pose),
+        {"net": base_opt(lrate),
+         "pose": base_opt(lrate_pose, pose_decay_k or None),
          "frozen": optax.set_to_zero()},
         labels)
 

@@ -30,7 +30,8 @@ def test_image_wise_solver_runs_and_updates_pose(tiny_smpl_nerf_ds):
         f"--dataset_dir={tiny_smpl_nerf_ds}", "--num_epochs=2", "--batchsize=36",
         "--number_coarse_samples=4", "--netdepth=2", "--netwidth=16",
         "--number_frequencies_postitional=2", "--number_frequencies_directional=1",
-        "--sigma_noise_std=0", "--lrate_pose=0.05", "--warp_radius=0.1",
+        "--sigma_noise_std=0", "--lrate_pose=0.05", "--lrate_pose_decay=1",
+        "--warp_radius=0.1",
         "--use_pallas=0", "--run_fine=0"])
     smpl_model = smpl_mod.procedural_human(rings=3, segments=6)
     train_data = datasets.load_dataset(os.path.join(tiny_smpl_nerf_ds, "train"),

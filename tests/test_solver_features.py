@@ -156,6 +156,31 @@ def test_optimizer_labels_frozen_nerf():
     assert np.abs(np.asarray(updates["smpl_estimator"]["params"]["a"])).max() > 0
 
 
+def test_lrate_pose_decay_only_shrinks_pose_updates():
+    """--lrate_pose_decay decays the estimator group; net lr stays constant."""
+    params = {"model_coarse": {"w": jnp.ones(3)},
+              "smpl_estimator": {"params": {"a": jnp.ones(1)}}}
+
+    class A:
+        lrate, lrate_pose, weight_decay = 1e-3, 0.1, 0
+        lrate_pose_decay = 1  # 0.1x over 1000 steps
+
+    tx = make_optimizer(params, A, "image_wise_dynamic")
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    first, state = tx.update(grads, state, params)
+    last = first
+    for _ in range(500):  # the (501)th call sees schedule step 500
+        last, state = tx.update(grads, state, params)
+    # pose lr at step 500 is 0.1^(500/1000) ~ 0.316x the step-0 lr
+    pose0 = abs(float(first["smpl_estimator"]["params"]["a"][0]))
+    pose500 = abs(float(last["smpl_estimator"]["params"]["a"][0]))
+    np.testing.assert_allclose(pose500 / pose0, 0.1 ** 0.5, rtol=1e-3)
+    # the net group is untouched by the pose-only decay
+    np.testing.assert_allclose(np.asarray(last["model_coarse"]["w"]),
+                               np.asarray(first["model_coarse"]["w"]), rtol=1e-5)
+
+
 def test_nan_report_counts():
     from smpl_nerf_tpu.training.solver import nan_report
     tree = {"a": {"kernel": jnp.asarray([1.0, np.nan, np.inf, 2.0])},
