@@ -281,6 +281,13 @@ def inference(argv=None):
     truths = data.rgb.reshape(data.num_images, data.h, data.w, 3)
     scores = print_scores(renders, truths)
     save_rerenders(renders, inf_args.inf_save_dir)
+    # persist next to the renders so batch runs stay self-describing even if
+    # the driving shell's log is lost (tunnel outages are routine)
+    import json
+    with open(os.path.join(inf_args.inf_save_dir, "scores.json"), "w") as fh:
+        json.dump({**scores, "run_dir": inf_args.inf_run_dir,
+                   "ground_truth_dir": inf_args.inf_ground_truth_dir,
+                   "fast": int(inf_args.inf_fast)}, fh, indent=1)
     print("Renders saved under", inf_args.inf_save_dir)
     return scores
 

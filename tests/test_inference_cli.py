@@ -6,6 +6,7 @@ inference.py:35-110)."""
 import os
 
 import numpy as np
+import pytest
 
 from smpl_nerf_tpu import config as config_mod
 from smpl_nerf_tpu.data import generate
@@ -95,3 +96,14 @@ def test_inference_fast2_per_pose_grids_and_auto_cap(tmp_path, capsys):
     render_dataset(args, extras, log_dir, data, fast=2, cap_fraction=0.02,
                    batch_size=50)
     assert "below the derived safe cull budget" in capsys.readouterr().out
+
+    # the inference() entry persists scores.json next to the renders
+    from smpl_nerf_tpu.cli.inference import inference
+    save_dir = str(tmp_path / "renders")
+    scores = inference([
+        f"--inf_run_dir={log_dir}", f"--inf_ground_truth_dir={os.path.join(d, 'val')}",
+        f"--inf_save_dir={save_dir}", "--inf_batchsize=50"])
+    import json
+    saved = json.load(open(os.path.join(save_dir, "scores.json")))
+    assert saved["psnr"] == pytest.approx(scores["psnr"])
+    assert saved["run_dir"] == log_dir
