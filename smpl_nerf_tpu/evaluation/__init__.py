@@ -1,2 +1,2 @@
 from smpl_nerf_tpu.evaluation.scores import (img2mse, img2psnr, ssim,  # noqa: F401
-                                             lpips, print_scores)
+                                             lpips, rlpips, print_scores)

@@ -107,6 +107,32 @@ class Vgg16Features:
         data = np.load(path)
         return cls({k: jnp.asarray(data[k]) for k in data.files})
 
+    @classmethod
+    def random(cls, seed: int = 0) -> "Vgg16Features":
+        """Deterministic He-initialized (untrained) VGG16 for rLPIPS.
+
+        The LPIPS paper (Zhang et al. 2018, Table 5) shows feature distances
+        of *untrained* conv nets already rank perceptual similarity far above
+        pixel metrics; the trained weights mostly calibrate the scale. With
+        the licensed torchvision weights egress-gated in this environment,
+        rlpips() uses this fixed-seed random net: its VALUES are not
+        comparable to published LPIPS numbers, but it is a deterministic,
+        reproducible perceptual distance valid for ranking methods against
+        each other on the same data (lower = perceptually closer).
+        """
+        rng = np.random.default_rng(seed)
+        weights = {}
+        cin, conv_i = 3, 0
+        for v in _VGG16_CFG:
+            if v == "M":
+                continue
+            std = np.sqrt(2.0 / (3 * 3 * cin))
+            weights[f"conv{conv_i}_kernel"] = jnp.asarray(
+                rng.normal(0.0, std, (3, 3, cin, v)).astype(np.float32))
+            weights[f"conv{conv_i}_bias"] = jnp.zeros((v,), jnp.float32)
+            cin, conv_i = v, conv_i + 1
+        return cls(weights)
+
     def features(self, img: jnp.ndarray):
         """img [N, H, W, 3] in [0,1] -> list of tapped normalized features."""
         x = (img - _IMAGENET_MEAN) / _IMAGENET_STD
@@ -128,41 +154,78 @@ class Vgg16Features:
         return taps
 
 
+def _lpips_from_net(net: Vgg16Features, x, y, batch: int = 8) -> float:
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    if x.ndim == 3:
+        x, y = x[None], y[None]
+    n = x.shape[0]
+    total, count = 0.0, 0
+    for s in range(0, n, batch):  # chunk: tap features are N*H*W*64 floats
+        fx, fy = net.features(x[s:s + batch]), net.features(y[s:s + batch])
+        m = int(x[s:s + batch].shape[0])
+        per = 0.0
+        for j, (a, b) in enumerate(zip(fx, fy)):
+            a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
+            b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
+            d = (a - b) ** 2
+            if net.has_lin and f"lin{j}_weight" in net.weights:
+                per = per + jnp.mean(jnp.sum(d * net.weights[f"lin{j}_weight"], -1))
+            else:
+                per = per + jnp.mean(jnp.sum(d, -1) / d.shape[-1])
+        total += float(per) * m
+        count += m
+    return total / max(count, 1)
+
+
 def lpips(x, y, weights_path: str = _DEFAULT_WEIGHTS) -> Optional[float]:
     """LPIPS distance between [N,H,W,3] image batches in [0,1]; None if no weights."""
     net = Vgg16Features.load(weights_path)
     if net is None:
         return None
-    x = jnp.asarray(x, jnp.float32)
-    y = jnp.asarray(y, jnp.float32)
-    if x.ndim == 3:
-        x, y = x[None], y[None]
-    fx, fy = net.features(x), net.features(y)
-    total = 0.0
-    for j, (a, b) in enumerate(zip(fx, fy)):
-        a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
-        b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
-        d = (a - b) ** 2
-        if net.has_lin and f"lin{j}_weight" in net.weights:
-            d = d * net.weights[f"lin{j}_weight"]
-            total = total + jnp.mean(jnp.sum(d, -1))
-        else:
-            total = total + jnp.mean(jnp.sum(d, -1) / d.shape[-1])
-    return float(total)
+    return _lpips_from_net(net, x, y)
+
+
+_RANDOM_NET = None
+
+
+def rlpips(x, y, seed: int = 0) -> float:
+    """LPIPS on a fixed-seed UNTRAINED VGG16 (see Vgg16Features.random).
+
+    Deterministic and self-contained (no licensed weights); use for ranking
+    methods on the same dataset, never for comparing against published LPIPS.
+    """
+    global _RANDOM_NET
+    if seed != 0:
+        return _lpips_from_net(Vgg16Features.random(seed), x, y)
+    if _RANDOM_NET is None:
+        _RANDOM_NET = Vgg16Features.random(0)
+    return _lpips_from_net(_RANDOM_NET, x, y)
 
 
 def print_scores(renders, truths) -> dict:
-    """MSE/PSNR/SSIM/LPIPS over [N,H,W,3] batches — reference scores.py:457-464."""
+    """MSE/PSNR/SSIM/LPIPS over [N,H,W,3] batches — reference scores.py:457-464.
+
+    `rlpips` (untrained-VGG perceptual distance, see rlpips()) is included for
+    images >= 32px (the 4-maxpool stack needs that much) unless
+    SMPL_NERF_TPU_NO_RLPIPS=1; real LPIPS additionally when the licensed VGG16
+    weights file exists.
+    """
     out = {
         "mse": float(img2mse(renders, truths)),
         "psnr": float(img2psnr(renders, truths)),
         "ssim": float(ssim(renders, truths)),
     }
+    shape = np.shape(renders)
+    hw = shape[-3:-1] if len(shape) >= 3 else (0, 0)
+    if min(hw) >= 32 and not os.environ.get("SMPL_NERF_TPU_NO_RLPIPS"):
+        out["rlpips"] = rlpips(renders, truths)
     lp = lpips(renders, truths)
     if lp is not None:
         out["lpips"] = lp
     else:
         print("LPIPS skipped: no local VGG16 weights "
-              f"(expected at {_DEFAULT_WEIGHTS})")
+              f"(expected at {_DEFAULT_WEIGHTS}); rlpips (untrained-VGG, "
+              "ranking-only) reported instead where present")
     print(" ".join(f"{k}: {v:.4f}" for k, v in out.items()))
     return out

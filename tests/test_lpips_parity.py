@@ -142,3 +142,44 @@ def test_lpips_returns_none_without_weights(tmp_path):
     from smpl_nerf_tpu.evaluation import scores
     assert scores.lpips(np.zeros((1, 16, 16, 3)), np.zeros((1, 16, 16, 3)),
                         weights_path=str(tmp_path / "missing.npz")) is None
+
+
+# ------------------------------------------------------------------ rlpips
+# Untrained-VGG perceptual distance (round 3): deterministic, self-contained,
+# ranking-valid (LPIPS paper Table 5 shows untrained conv features already
+# rank perceptual similarity well; training mostly calibrates scale).
+
+
+def test_rlpips_deterministic_and_zero_on_identity(rng):
+    from smpl_nerf_tpu.evaluation import scores
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    y = rng.rand(2, 32, 32, 3).astype(np.float32)
+    a = scores.rlpips(x, y)
+    b = scores.rlpips(x, y)
+    assert a == pytest.approx(b, abs=1e-7)          # cached net, same result
+    assert scores.rlpips(x, x.copy()) == pytest.approx(0.0, abs=1e-6)
+    assert a > 1e-4                                  # different images differ
+    # a different seed gives a different (but valid) metric
+    c = scores.rlpips(x, y, seed=1)
+    assert c > 1e-4 and abs(c - a) > 1e-9
+
+
+def test_rlpips_ranks_increasing_distortion(rng):
+    """More noise => larger rlpips, monotonically (ranking validity)."""
+    from smpl_nerf_tpu.evaluation import scores
+    x = rng.rand(1, 32, 32, 3).astype(np.float32) * 0.6 + 0.2
+    noise = rng.randn(1, 32, 32, 3).astype(np.float32)
+    vals = [scores.rlpips(x, np.clip(x + s * noise, 0, 1))
+            for s in (0.02, 0.08, 0.25)]
+    assert vals[0] < vals[1] < vals[2]
+
+
+def test_print_scores_includes_rlpips_for_large_images(rng, capsys):
+    from smpl_nerf_tpu.evaluation import scores
+    x = rng.rand(1, 32, 32, 3).astype(np.float32)
+    y = rng.rand(1, 32, 32, 3).astype(np.float32)
+    out = scores.print_scores(x, y)
+    assert "rlpips" in out and out["rlpips"] > 0
+    # too small for the 4-maxpool stack -> omitted, not crashed
+    small = scores.print_scores(x[:, :16, :16], y[:, :16, :16])
+    assert "rlpips" not in small
