@@ -38,7 +38,7 @@ import numpy as np
 
 
 def load_renders(renders_dir: str) -> np.ndarray:
-    import imageio
+    import imageio.v2 as imageio
     paths = sorted(glob.glob(os.path.join(renders_dir, "img_*.png")))
     if not paths:
         raise FileNotFoundError(f"no img_*.png under {renders_dir}")
