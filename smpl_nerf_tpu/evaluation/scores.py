@@ -227,5 +227,6 @@ def print_scores(renders, truths) -> dict:
         print("LPIPS skipped: no local VGG16 weights "
               f"(expected at {_DEFAULT_WEIGHTS}); rlpips (untrained-VGG, "
               "ranking-only) reported instead where present")
-    print(" ".join(f"{k}: {v:.4f}" for k, v in out.items()))
+    print(" ".join(f"{k}: {v:.4f}" if abs(v) >= 1e-3 else f"{k}: {v:.3e}"
+                   for k, v in out.items()))
     return out

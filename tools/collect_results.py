@@ -29,11 +29,13 @@ def collect(runs_dir: str, match: str = ""):
             s = json.load(open(scores_path))
             tag = os.path.basename(os.path.dirname(scores_path))
             label = name if tag == "renders_val" else f"{name} [{tag}]"
-            rows.append((label, s.get("psnr"), s.get("ssim"), s.get("lpips")))
+            rows.append((label, s.get("psnr"), s.get("ssim"),
+                         s.get("lpips") or s.get("rlpips")))
         flat = os.path.join(run, "scores.json")
         if os.path.exists(flat):
             s = json.load(open(flat))
-            rows.append((name, s.get("psnr"), s.get("ssim"), s.get("lpips")))
+            rows.append((name, s.get("psnr"), s.get("ssim"),
+                         s.get("lpips") or s.get("rlpips")))
         pe = os.path.join(run, "pose_errors.json")
         if os.path.exists(pe):
             s = json.load(open(pe))
@@ -51,7 +53,7 @@ def main(argv=None):
     if not rows:
         print("no scores found")
         return rows
-    print("| run | PSNR/best | SSIM/final | LPIPS |")
+    print("| run | PSNR/best | SSIM/final | (r)LPIPS |")
     print("|---|---|---|---|")
     for name, a, b, c in rows:
         fmt = lambda v: "—" if v is None else (f"{v:.4g}" if isinstance(v, float) else str(v))
