@@ -145,8 +145,13 @@ class Vgg16Features:
                 continue
             k = self.weights[f"conv{conv_i}_kernel"]
             b = self.weights[f"conv{conv_i}_bias"]
+            # Precision.HIGHEST: TPU convs default to bf16 multiplies, which
+            # would make on-chip (r)LPIPS drift from host-computed values (the
+            # same hazard the SSIM variance terms hit); f32 keeps the metric
+            # platform-consistent.
             x = jax.lax.conv_general_dilated(
-                x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+                x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST) + b
             x = jax.nn.relu(x)
             if conv_i in _TAP_LAYERS:
                 taps.append(x)
