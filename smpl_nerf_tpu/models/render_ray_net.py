@@ -156,3 +156,31 @@ def import_torch_state_dict(state_dict, n_layers: int = 8) -> dict:
     for i in range(n_layers - 1):
         params[f"positional_net_{i}"] = wb(f"positional_net.{i}")
     return {"params": params}
+
+
+def export_torch_state_dict(params: dict, n_layers: int = 8) -> dict:
+    """Inverse of import_torch_state_dict: flax params -> reference-layout
+    torch state_dict arrays (numpy; call torch.tensor() per value to load).
+
+    Completes the migration story both ways: checkpoints trained here can be
+    loaded into the reference's RenderRayNet (models/render_ray_net.py:19-40)
+    for cross-framework validation.
+    """
+    import numpy as np
+
+    p = params.get("params", params)
+
+    def wb(ours, theirs, out):
+        out[theirs + ".weight"] = np.asarray(p[ours]["kernel"]).T.copy()
+        out[theirs + ".bias"] = np.asarray(p[ours]["bias"]).copy()
+
+    sd: dict = {}
+    wb("positions_pose_input", "positions_pose_input", sd)
+    for i in range(n_layers - 1):
+        wb(f"positional_net_{i}", f"positional_net.{i}", sd)
+    wb("additional_linear_layer", "additional_linear_layer", sd)
+    wb("sigma_out_layer", "sigma_out_layer", sd)
+    wb("directional_input", "directional_input", sd)
+    wb("directional_net_0", "directional_net.0", sd)
+    wb("rgb_out_layer", "rgb_out_layer", sd)
+    return sd

@@ -34,3 +34,15 @@ def import_torch_state_dict(state_dict) -> dict:
         "linear2": {"kernel": np.asarray(state_dict["linear2.weight"]).T,
                     "bias": np.asarray(state_dict["linear2.bias"])},
     }}
+
+
+def export_torch_state_dict(params: dict) -> dict:
+    """Inverse of import_torch_state_dict (numpy arrays, reference layout)."""
+    import numpy as np
+    p = params.get("params", params)
+    return {
+        "linear1.weight": np.asarray(p["linear1"]["kernel"]).T.copy(),
+        "linear1.bias": np.asarray(p["linear1"]["bias"]).copy(),
+        "linear2.weight": np.asarray(p["linear2"]["kernel"]).T.copy(),
+        "linear2.bias": np.asarray(p["linear2"]["bias"]).copy(),
+    }

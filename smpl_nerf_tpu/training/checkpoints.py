@@ -9,6 +9,7 @@ PSNR-parity checks.
 """
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 from typing import Any, Dict, Optional
@@ -181,3 +182,35 @@ def import_torch_run(run_dir: str, n_layers: int = 8,
         params["model_warp_field"] = warp_field_net.import_torch_state_dict(
             {k: v.numpy() for k, v in sd.items()})
     return params
+
+
+def export_torch_run(run_dir: str, out_dir: str) -> Dict[str, str]:
+    """Inverse of import_torch_run: write reference-layout model_*.pt files.
+
+    Reads this framework's model_<name>.msgpack checkpoints (template-free
+    msgpack restore) and saves torch state_dicts the reference's
+    load_run/solvers can consume (reference utils.py save_run contract) —
+    migration works in both directions. Returns {model name: .pt path}.
+    """
+    import torch
+
+    from smpl_nerf_tpu.models import render_ray_net, warp_field_net
+
+    os.makedirs(out_dir, exist_ok=True)
+    written: Dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(run_dir, "model_*.msgpack"))):
+        name = os.path.basename(path)[len("model_"):-len(".msgpack")]
+        with open(path, "rb") as fh:
+            params = serialization.msgpack_restore(fh.read())
+        tree = params.get("params", params)
+        if name in ("model_coarse", "model_fine"):
+            n_layers = 1 + sum(1 for k in tree if k.startswith("positional_net_"))
+            sd = render_ray_net.export_torch_state_dict(params, n_layers)
+        elif name == "model_warp_field":
+            sd = warp_field_net.export_torch_state_dict(params)
+        else:
+            continue  # estimator/embedder families have no reference loader
+        out_path = os.path.join(out_dir, f"{name}.pt")
+        torch.save({k: torch.tensor(v) for k, v in sd.items()}, out_path)
+        written[name] = out_path
+    return written
