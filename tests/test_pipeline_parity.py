@@ -153,3 +153,140 @@ def test_full_nerf_pipeline_matches_torch_oracle(white_background, rng):
                                rgb_c.detach().numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out["rgb_fine"]),
                                rgb_f.detach().numpy(), atol=2e-3)
+
+
+@pytest.mark.parametrize("human_pose_encoding,white_background",
+                         [(1, True), (0, False)])
+def test_smpl_nerf_warp_pipeline_matches_torch_oracle(human_pose_encoding,
+                                                      white_background, rng):
+    """The eponymous warp-field pipeline vs a torch transliteration of
+    reference smpl_nerf_pipeline.py:16-100: 2-joint pose -> warp MLP ->
+    warped re-encode -> per-sample coarse directions -> composite; fine pass
+    re-warps but composites with the UNwarped ray direction (the reference's
+    own quirk, smpl_nerf_pipeline.py:95-98)."""
+    import torch.nn as tnn
+
+    from smpl_nerf_tpu.models import warp_field_net as wfn_mod
+    from smpl_nerf_tpu.models.warp_field_net import WarpFieldNet
+    from tests.test_models import _torch_render_ray_net
+
+    pos_L, dir_L, pose_L = 4, 2, 3
+    n_layers, width, w_warp = 3, 32, 16
+    S_c, S_f = 8, 16
+    near, far = 1.0, 4.0
+    R = 12
+
+    pos_dim, dir_dim = 3 * 2 * pos_L, 3 * 2 * dir_L
+    pose_dim = 2 * 2 * pose_L if human_pose_encoding else 2
+    warp_in_dim = (pos_dim if human_pose_encoding else 3) + pose_dim
+
+    t_coarse = _torch_render_ray_net(n_layers, width, pos_dim, dir_dim, 0, [1], 1)
+    t_fine = _torch_render_ray_net(n_layers, width, pos_dim, dir_dim, 0, [1], 1)
+
+    class TWarp(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.linear1 = tnn.Linear(warp_in_dim, w_warp)
+            self.linear2 = tnn.Linear(w_warp, 3)
+
+        def forward(self, x):
+            return self.linear2(F.relu(self.linear1(x)))
+
+    t_warp = TWarp()
+    to_np = lambda net: {k: v.numpy() for k, v in net.state_dict().items()}
+
+    parser = config_mod.config_parser()
+    args = parser.parse_args([
+        "--config=/dev/null", "--model_type=smpl_nerf",
+        f"--human_pose_encoding={human_pose_encoding}",
+        f"--netdepth={n_layers}", f"--netwidth={width}", "--skips=1",
+        f"--netdepth_fine={n_layers}", f"--netwidth_fine={width}",
+        "--skips_fine=1", "--run_fine=1", f"--netwidth_warp={w_warp}",
+        f"--number_coarse_samples={S_c}", f"--number_fine_samples={S_f}",
+        f"--number_frequencies_postitional={pos_L}",
+        f"--number_frequencies_directional={dir_L}",
+        f"--number_frequencies_pose={pose_L}", "--sigma_noise_std=0",
+        f"--white_background={int(white_background)}", f"--near={near}",
+        f"--far={far}", "--use_pallas=0"])
+    encoders = build_encoders(args)
+    mk = lambda: RenderRayNet(n_layers=n_layers, width=width,
+                              positions_dim=pos_dim, directions_dim=dir_dim,
+                              skips=(1,))
+    models = {
+        "model_coarse": mk(), "model_fine": mk(),
+        "model_warp_field": WarpFieldNet(width=w_warp,
+                                         positions_dim=pos_dim,
+                                         pose_dim=pose_dim),
+    }
+    params = {
+        "model_coarse": rrn_mod.import_torch_state_dict(to_np(t_coarse), n_layers),
+        "model_fine": rrn_mod.import_torch_state_dict(to_np(t_fine), n_layers),
+        "model_warp_field": wfn_mod.import_torch_state_dict(to_np(t_warp)),
+    }
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+
+    origins = np.tile(np.asarray([[0, 0, 2.4]], np.float32), (R, 1))
+    dirs = rng.uniform(-0.3, 0.3, (R, 3)).astype(np.float32)
+    dirs[:, 2] = -1.0
+    pose69 = rng.uniform(-0.5, 0.5, (R, 69)).astype(np.float32)
+
+    batch = {"ray_translation": jnp.asarray(origins),
+             "ray_direction": jnp.asarray(dirs),
+             "human_pose": jnp.asarray(pose69), "rgb": jnp.zeros((R, 3))}
+    out = pipeline(params, batch, None, False)
+
+    # ---- torch oracle --------------------------------------------------
+    t = np.linspace(0, 1, S_c, dtype=np.float64)
+    z = 1.0 / (1.0 / near * (1 - t) + 1.0 / far * t)
+    mids = 0.5 * (z[1:] + z[:-1])
+    upper = np.concatenate([mids, z[-1:]])
+    lower = np.concatenate([z[:1], mids])
+    z_vals = torch.tensor((lower + (upper - lower) * 0.5)[None].repeat(R, 0),
+                          dtype=torch.float32)
+    to = torch.from_numpy(origins)
+    td = torch.from_numpy(dirs)
+    tp = torch.from_numpy(pose69)
+    pose2 = torch.stack([tp[:, 38], tp[:, 41]], -1)
+    penc, denc = _torch_encoder(pos_L), _torch_encoder(dir_L)
+    posenc = _torch_encoder(pose_L)
+
+    def warp_inputs(samples, S):
+        if human_pose_encoding:
+            pe = posenc(pose2)[:, None, :].expand(R, S, pose_dim)
+            se = penc(samples)
+            return torch.cat([se.reshape(R * S, -1), pe.reshape(R * S, -1)], -1)
+        pe = pose2[:, None, :].expand(R, S, 2)
+        return torch.cat([samples.reshape(R * S, -1), pe.reshape(R * S, -1)], -1)
+
+    samples = to[:, None] + td[:, None] * z_vals[..., None]
+    warp = t_warp(warp_inputs(samples, S_c)).view(R, S_c, 3)
+    warped = samples + warp
+    samples_dirs = warped - to[:, None, :]
+    dirs_norm = samples_dirs / torch.norm(samples_dirs, dim=-1, keepdim=True)
+    inp = torch.cat([penc(warped).view(R * S_c, -1),
+                     denc(dirs_norm).reshape(R * S_c, -1)], -1)
+    raw = t_coarse(inp).view(R, S_c, 4)
+    rgb_c, weights = _torch_raw2outputs(raw, z_vals, samples_dirs,
+                                        white_background)
+
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_fine = _torch_sample_pdf(z_mid, weights[..., 1:-1], S_f).detach()
+    z_all, _ = torch.sort(torch.cat([z_vals, z_fine], -1), -1)
+    Sf_all = S_c + S_f
+    samples_f = to[:, None] + td[:, None] * z_all[..., None]
+    warp_f = t_warp(warp_inputs(samples_f, Sf_all)).view(R, Sf_all, 3)
+    warped_f = samples_f + warp_f
+    fine_dirs = warped_f - to[:, None, :]
+    fine_norm = fine_dirs / torch.norm(fine_dirs, dim=-1, keepdim=True)
+    inp_f = torch.cat([penc(warped_f).view(R * Sf_all, -1),
+                       denc(fine_norm).reshape(R * Sf_all, -1)], -1)
+    raw_f = t_fine(inp_f).view(R, Sf_all, 4)
+    dirs_f = td[:, None, :].expand(R, Sf_all, 3)  # UNwarped (reference quirk)
+    rgb_f, _ = _torch_raw2outputs(raw_f, z_all, dirs_f, white_background)
+
+    np.testing.assert_allclose(np.asarray(out["rgb_coarse"]),
+                               rgb_c.detach().numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["warp"]).reshape(R, Sf_all, 3),
+                               warp_f.detach().numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["rgb_fine"]),
+                               rgb_f.detach().numpy(), atol=2e-3)
