@@ -290,3 +290,112 @@ def test_smpl_nerf_warp_pipeline_matches_torch_oracle(human_pose_encoding,
                                warp_f.detach().numpy(), atol=2e-3)
     np.testing.assert_allclose(np.asarray(out["rgb_fine"]),
                                rgb_f.detach().numpy(), atol=2e-3)
+
+
+@pytest.mark.parametrize("model_type,human_pose_encoding,white_background", [
+    ("append_smpl_params", 1, True),   # the flagship config: full 69-dim pose
+    ("append_to_nerf", 0, False),      # 2-joint, raw (unencoded) pose append
+])
+def test_append_pipeline_matches_torch_oracle(model_type, human_pose_encoding,
+                                              white_background, rng):
+    """Pose-append families vs a torch transliteration of reference
+    append_to_nerf_pipeline.py:14-90 / append_smpl_params_pipeline.py:
+    inputs are [pose_enc | sample_enc | dir_enc] (pose rides the MLP's
+    additional_input_dim slot); the fine pass reuses the first sample's
+    direction encoding and composites with the expanded ray direction."""
+    from tests.test_models import _torch_render_ray_net
+
+    pos_L, dir_L, pose_L = 4, 2, 2
+    n_layers, width = 3, 32
+    S_c, S_f = 8, 16
+    near, far = 1.0, 4.0
+    R = 12
+
+    pose_raw_dim = 69 if model_type == "append_smpl_params" else 2
+    pos_dim, dir_dim = 3 * 2 * pos_L, 3 * 2 * dir_L
+    add_dim = pose_raw_dim * 2 * pose_L if human_pose_encoding else pose_raw_dim
+
+    t_coarse = _torch_render_ray_net(n_layers, width, pos_dim, dir_dim,
+                                     add_dim, [1], 1)
+    t_fine = _torch_render_ray_net(n_layers, width, pos_dim, dir_dim,
+                                   add_dim, [1], 1)
+    to_np = lambda net: {k: v.numpy() for k, v in net.state_dict().items()}
+
+    parser = config_mod.config_parser()
+    args = parser.parse_args([
+        "--config=/dev/null", f"--model_type={model_type}",
+        f"--human_pose_encoding={human_pose_encoding}",
+        f"--netdepth={n_layers}", f"--netwidth={width}", "--skips=1",
+        f"--netdepth_fine={n_layers}", f"--netwidth_fine={width}",
+        "--skips_fine=1", "--run_fine=1",
+        f"--number_coarse_samples={S_c}", f"--number_fine_samples={S_f}",
+        f"--number_frequencies_postitional={pos_L}",
+        f"--number_frequencies_directional={dir_L}",
+        f"--number_frequencies_pose={pose_L}", "--sigma_noise_std=0",
+        f"--white_background={int(white_background)}", f"--near={near}",
+        f"--far={far}", "--use_pallas=0"])
+    encoders = build_encoders(args)
+    mk = lambda: RenderRayNet(n_layers=n_layers, width=width,
+                              positions_dim=pos_dim, directions_dim=dir_dim,
+                              additional_input_dim=add_dim, skips=(1,))
+    models = {"model_coarse": mk(), "model_fine": mk()}
+    params = {
+        "model_coarse": rrn_mod.import_torch_state_dict(to_np(t_coarse), n_layers),
+        "model_fine": rrn_mod.import_torch_state_dict(to_np(t_fine), n_layers),
+    }
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+
+    origins = np.tile(np.asarray([[0, 0, 2.4]], np.float32), (R, 1))
+    dirs = rng.uniform(-0.3, 0.3, (R, 3)).astype(np.float32)
+    dirs[:, 2] = -1.0
+    pose69 = rng.uniform(-0.5, 0.5, (R, 69)).astype(np.float32)
+
+    batch = {"ray_translation": jnp.asarray(origins),
+             "ray_direction": jnp.asarray(dirs),
+             "human_pose": jnp.asarray(pose69), "rgb": jnp.zeros((R, 3))}
+    out = pipeline(params, batch, None, False)
+
+    # ---- torch oracle --------------------------------------------------
+    t = np.linspace(0, 1, S_c, dtype=np.float64)
+    z = 1.0 / (1.0 / near * (1 - t) + 1.0 / far * t)
+    mids = 0.5 * (z[1:] + z[:-1])
+    upper = np.concatenate([mids, z[-1:]])
+    lower = np.concatenate([z[:1], mids])
+    z_vals = torch.tensor((lower + (upper - lower) * 0.5)[None].repeat(R, 0),
+                          dtype=torch.float32)
+    to = torch.from_numpy(origins)
+    td = torch.from_numpy(dirs)
+    tp = torch.from_numpy(pose69)
+    pose = (tp if model_type == "append_smpl_params"
+            else torch.stack([tp[:, 38], tp[:, 41]], -1))
+    penc, denc = _torch_encoder(pos_L), _torch_encoder(dir_L)
+    pose_flat = _torch_encoder(pose_L)(pose) if human_pose_encoding else pose
+
+    samples = to[:, None] + td[:, None] * z_vals[..., None]
+    dirs_exp = td[:, None, :].expand(R, S_c, 3)
+    dirs_norm = dirs_exp / torch.norm(dirs_exp, dim=-1, keepdim=True)
+    de = denc(dirs_norm)
+    pe = pose_flat[:, None, :].expand(R, S_c, add_dim)
+    inp = torch.cat([pe.reshape(R * S_c, -1), penc(samples).view(R * S_c, -1),
+                     de.reshape(R * S_c, -1)], -1)
+    raw = t_coarse(inp).view(R, S_c, 4)
+    rgb_c, weights = _torch_raw2outputs(raw, z_vals, dirs_exp, white_background)
+
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_fine = _torch_sample_pdf(z_mid, weights[..., 1:-1], S_f).detach()
+    z_all, _ = torch.sort(torch.cat([z_vals, z_fine], -1), -1)
+    Sf_all = S_c + S_f
+    samples_f = to[:, None] + td[:, None] * z_all[..., None]
+    pe_f = pose_flat[:, None, :].expand(R, Sf_all, add_dim)
+    de_f = de[:, :1, :].expand(R, Sf_all, de.shape[-1])
+    inp_f = torch.cat([pe_f.reshape(R * Sf_all, -1),
+                       penc(samples_f).view(R * Sf_all, -1),
+                       de_f.reshape(R * Sf_all, -1)], -1)
+    raw_f = t_fine(inp_f).view(R, Sf_all, 4)
+    dirs_f = td[:, None, :].expand(R, Sf_all, 3)
+    rgb_f, _ = _torch_raw2outputs(raw_f, z_all, dirs_f, white_background)
+
+    np.testing.assert_allclose(np.asarray(out["rgb_coarse"]),
+                               rgb_c.detach().numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["rgb_fine"]),
+                               rgb_f.detach().numpy(), atol=2e-3)
