@@ -173,3 +173,154 @@ def test_training_trajectory_matches_torch_oracle(white_background, rng):
     psnr_ours = mse2psnr(tail_ours / 2)
     psnr_torch = mse2psnr(tail_torch / 2)
     assert abs(psnr_ours - psnr_torch) < 0.5, (psnr_ours, psnr_torch)
+
+
+def _torch_append_forward(t_coarse, t_fine, origins, dirs, pose_flat, z_vals,
+                          pos_L, dir_L, S_c, S_f, white_background):
+    """Reference append_smpl_params forward (append_smpl_params_pipeline.py):
+    inputs are [pose_enc | sample_enc | dir_enc]; fine pass reuses the first
+    sample's direction encoding; composite with the expanded ray direction."""
+    R = origins.shape[0]
+    add_dim = pose_flat.shape[-1]
+    samples = origins[:, None] + dirs[:, None] * z_vals[..., None]
+    penc, denc = _torch_encoder(pos_L), _torch_encoder(dir_L)
+    dirs_exp = dirs[:, None, :].expand(R, S_c, 3)
+    dirs_norm = dirs_exp / torch.norm(dirs_exp, dim=-1, keepdim=True)
+    de = denc(dirs_norm)
+    pe = pose_flat[:, None, :].expand(R, S_c, add_dim)
+    inp = torch.cat([pe.reshape(R * S_c, -1), penc(samples).view(R * S_c, -1),
+                     de.reshape(R * S_c, -1)], -1)
+    raw = t_coarse(inp).view(R, S_c, 4)
+    rgb_c, weights = _torch_raw2outputs(raw, z_vals, dirs_exp, white_background)
+
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_fine = _torch_sample_pdf(z_mid, weights[..., 1:-1], S_f).detach()
+    z_all, _ = torch.sort(torch.cat([z_vals, z_fine], -1), -1)
+    samples_f = origins[:, None] + dirs[:, None] * z_all[..., None]
+    Sf_all = S_c + S_f
+    pe_f = pose_flat[:, None, :].expand(R, Sf_all, add_dim)
+    de_f = de[:, :1, :].expand(R, Sf_all, de.shape[-1])
+    inp_f = torch.cat([pe_f.reshape(R * Sf_all, -1),
+                       penc(samples_f).view(R * Sf_all, -1),
+                       de_f.reshape(R * Sf_all, -1)], -1)
+    raw_f = t_fine(inp_f).view(R, Sf_all, 4)
+    dirs_f = dirs[:, None, :].expand(R, Sf_all, 3)
+    rgb_f, _ = _torch_raw2outputs(raw_f, z_all, dirs_f, white_background)
+    return rgb_c, rgb_f
+
+
+def test_flagship_append_training_trajectory_matches_torch_oracle(rng):
+    """Training parity for the PRODUCTION flagship family (append_smpl_params):
+    same init, pose-conditioned data from a pose-varying rendered scene, MSE
+    coarse+fine, Adam — early trajectory step-for-step, converged PSNR equal."""
+    pos_L, dir_L, pose_L = 4, 2, 2
+    n_layers, width = 3, 32
+    S_c, S_f = 8, 8
+    near, far = 1.0, 4.0
+    R, steps, lr = 256, 300, 1e-3
+    white_background = False
+
+    pos_dim, dir_dim = 3 * 2 * pos_L, 3 * 2 * dir_L
+    add_dim = 69 * 2 * pose_L
+
+    torch.manual_seed(1)
+    t_coarse = _torch_render_ray_net(n_layers, width, pos_dim, dir_dim,
+                                     add_dim, [1], 1)
+    t_fine = _torch_render_ray_net(n_layers, width, pos_dim, dir_dim,
+                                   add_dim, [1], 1)
+    to_np = lambda net: {k: v.detach().numpy() for k, v in net.state_dict().items()}
+
+    parser = config_mod.config_parser()
+    args = parser.parse_args([
+        "--config=/dev/null", "--model_type=append_smpl_params",
+        "--human_pose_encoding=1", f"--number_frequencies_pose={pose_L}",
+        f"--netdepth={n_layers}", f"--netwidth={width}", "--skips=1",
+        f"--netdepth_fine={n_layers}", f"--netwidth_fine={width}",
+        "--skips_fine=1", "--run_fine=1",
+        f"--number_coarse_samples={S_c}", f"--number_fine_samples={S_f}",
+        f"--number_frequencies_postitional={pos_L}",
+        f"--number_frequencies_directional={dir_L}", "--sigma_noise_std=0",
+        f"--white_background={int(white_background)}", f"--near={near}",
+        f"--far={far}", "--use_pallas=0"])
+    encoders = build_encoders(args)
+    mk = lambda: RenderRayNet(n_layers=n_layers, width=width,
+                              positions_dim=pos_dim, directions_dim=dir_dim,
+                              additional_input_dim=add_dim, skips=(1,))
+    models = {"model_coarse": mk(), "model_fine": mk()}
+    params = {
+        "model_coarse": rrn_mod.import_torch_state_dict(to_np(t_coarse), n_layers),
+        "model_fine": rrn_mod.import_torch_state_dict(to_np(t_fine), n_layers),
+    }
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+    loss_fn = make_loss_fn(pipeline)
+
+    # pose-VARYING rendered scene (3 arm angles x 3 cameras) so the pose
+    # conditioning input actually carries signal
+    import os
+    import tempfile
+    from smpl_nerf_tpu.data import datasets as ds_mod
+    from smpl_nerf_tpu.data import generate
+    gen_dir = tempfile.mkdtemp(prefix="parity_append_ds_")
+    gparser = config_mod.dataset_config_parser()
+    gargs = gparser.parse_args([
+        f"--save_dir={gen_dir}", "--dataset_type=smpl_nerf", "--resolution=12",
+        "--camera_path=circle", "--number_steps=3", "--multi_human_pose=1",
+        "--human_start_angle=0", "--human_end_angle=45",
+        "--human_number_steps=3", "--train_val_ratio=0.99"])
+    generate.create_dataset(gargs, gparser)
+    data = ds_mod.load_dataset(os.path.join(gen_dir, "train"),
+                               "append_smpl_params", args)
+    sel = rng.permutation(data.num_rays)[:R]
+    origins_np = data.origins[sel]
+    dirs_np = data.directions[sel]
+    target_np = data.rgb[sel]
+    img_idx = data.image_indices[sel]
+    poses_np = np.asarray(data.human_poses)[img_idx].astype(np.float32)
+    assert np.ptp(poses_np) > 0.1  # the sweep actually varies the pose
+    batch = {"ray_translation": jnp.asarray(origins_np),
+             "ray_direction": jnp.asarray(dirs_np),
+             "human_pose": jnp.asarray(poses_np),
+             "rgb": jnp.asarray(target_np)}
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, None, True)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t = np.linspace(0, 1, S_c, dtype=np.float64)
+    z = 1.0 / (1.0 / near * (1 - t) + 1.0 / far * t)
+    mids = 0.5 * (z[1:] + z[:-1])
+    upper = np.concatenate([mids, z[-1:]])
+    lower = np.concatenate([z[:1], mids])
+    z_vals = torch.tensor((lower + (upper - lower) * 0.5)[None].repeat(R, 0),
+                          dtype=torch.float32)
+    to, td = torch.from_numpy(origins_np), torch.from_numpy(dirs_np)
+    tt = torch.from_numpy(target_np)
+    pose_flat = _torch_encoder(pose_L)(torch.from_numpy(poses_np))
+    opt = torch.optim.Adam(list(t_coarse.parameters()) + list(t_fine.parameters()),
+                           lr=lr)
+
+    ours, theirs = [], []
+    for step in range(steps):
+        params, opt_state, loss = train_step(params, opt_state)
+        ours.append(float(loss))
+        opt.zero_grad()
+        rgb_c, rgb_f = _torch_append_forward(t_coarse, t_fine, to, td,
+                                             pose_flat, z_vals, pos_L, dir_L,
+                                             S_c, S_f, white_background)
+        t_loss = ((rgb_c - tt) ** 2).mean() + ((rgb_f - tt) ** 2).mean()
+        t_loss.backward()
+        opt.step()
+        theirs.append(float(t_loss))
+
+    ours, theirs = np.asarray(ours), np.asarray(theirs)
+    np.testing.assert_allclose(ours[:20], theirs[:20], rtol=2e-3)
+    assert theirs[-1] < 0.3 * theirs[0]
+    psnr_ours = mse2psnr(ours[-50:].mean() / 2)
+    psnr_torch = mse2psnr(theirs[-50:].mean() / 2)
+    assert abs(psnr_ours - psnr_torch) < 0.5, (psnr_ours, psnr_torch)
