@@ -399,3 +399,90 @@ def test_append_pipeline_matches_torch_oracle(model_type, human_pose_encoding,
                                rgb_c.detach().numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out["rgb_fine"]),
                                rgb_f.detach().numpy(), atol=2e-3)
+
+
+def _mk_nets_and_pipeline(model_type, rng_seed, pos_L, dir_L, n_layers, width,
+                          S_c, white_background, extra_args=()):
+    from tests.test_models import _torch_render_ray_net
+    pos_dim, dir_dim = 3 * 2 * pos_L, 3 * 2 * dir_L
+    torch.manual_seed(rng_seed)
+    t_net = _torch_render_ray_net(n_layers, width, pos_dim, dir_dim, 0, [1], 1)
+    to_np = lambda net: {k: v.numpy() for k, v in net.state_dict().items()}
+    parser = config_mod.config_parser()
+    args = parser.parse_args([
+        "--config=/dev/null", f"--model_type={model_type}",
+        f"--netdepth={n_layers}", f"--netwidth={width}", "--skips=1",
+        f"--number_coarse_samples={S_c}", "--run_fine=0",
+        f"--number_frequencies_postitional={pos_L}",
+        f"--number_frequencies_directional={dir_L}", "--sigma_noise_std=0",
+        f"--white_background={int(white_background)}", "--use_pallas=0",
+        *extra_args])
+    encoders = build_encoders(args)
+    models = {"model_coarse": RenderRayNet(
+        n_layers=n_layers, width=width, positions_dim=3 * 2 * pos_L,
+        directions_dim=3 * 2 * dir_L, skips=(1,))}
+    params = {"model_coarse": rrn_mod.import_torch_state_dict(
+        to_np(t_net), n_layers)}
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+    return t_net, pipeline, params
+
+
+def test_single_sample_smpl_pipeline_matches_torch_oracle(rng):
+    """'smpl' family vs reference singe_sample_pipeline.py:17-40: one surface
+    sample per ray, warped, direction from the warped sample, sigmoid RGB."""
+    pos_L, dir_L, n_layers, width, R = 4, 2, 3, 32, 20
+    t_net, pipeline, params = _mk_nets_and_pipeline("smpl", 7, pos_L, dir_L,
+                                                    n_layers, width, 8, False)
+    origins = rng.uniform(-1, 1, (R, 3)).astype(np.float32)
+    samples = rng.uniform(-1, 1, (R, 3)).astype(np.float32)
+    warp = (rng.uniform(-0.1, 0.1, (R, 3))).astype(np.float32)
+    batch = {"ray_translation": jnp.asarray(origins),
+             "ray_samples": jnp.asarray(samples), "warp": jnp.asarray(warp),
+             "rgb": jnp.zeros((R, 3))}
+    out = pipeline(params, batch, None, False)
+
+    to, ts, tw = map(torch.from_numpy, (origins, samples, warp))
+    warped = ts + tw
+    direction = warped - to
+    dn = direction / torch.norm(direction, dim=-1, keepdim=True)
+    penc, denc = _torch_encoder(pos_L), _torch_encoder(dir_L)
+    raw = t_net(torch.cat([penc(warped), denc(dn)], -1))
+    want = torch.sigmoid(raw[..., :3])
+    np.testing.assert_allclose(np.asarray(out["rgb_coarse"]),
+                               want.detach().numpy(), atol=1e-5)
+
+
+def test_vertex_sphere_pipeline_matches_torch_oracle(rng):
+    """vertex_sphere vs reference vertex_sphere_pipeline.py:15-50: precomputed
+    gt warps added to given samples, per-sample warped directions, composite
+    (fine pass is NotImplemented in the reference — coarse-only contract)."""
+    pos_L, dir_L, n_layers, width, R, S = 4, 2, 3, 32, 14, 8
+    t_net, pipeline, params = _mk_nets_and_pipeline(
+        "vertex_sphere", 11, pos_L, dir_L, n_layers, width, S, True)
+    origins = np.tile(np.asarray([[0, 0, 2.4]], np.float32), (R, 1))
+    z_vals = np.sort(rng.uniform(1, 4, (R, S)).astype(np.float32), -1)
+    dirs = rng.uniform(-0.3, 0.3, (R, 3)).astype(np.float32)
+    dirs[:, 2] = -1.0
+    samples = origins[:, None] + dirs[:, None] * z_vals[..., None]
+    warp = rng.uniform(-0.05, 0.05, (R, S, 3)).astype(np.float32)
+    batch = {"ray_translation": jnp.asarray(origins),
+             "ray_direction": jnp.asarray(dirs),
+             "ray_samples": jnp.asarray(samples.astype(np.float32)),
+             "z_vals": jnp.asarray(z_vals), "warp": jnp.asarray(warp),
+             "rgb": jnp.zeros((R, 3))}
+    out = pipeline(params, batch, None, False)
+
+    to = torch.from_numpy(origins)
+    ts = torch.from_numpy(samples.astype(np.float32))
+    tw = torch.from_numpy(warp)
+    tz = torch.from_numpy(z_vals)
+    warped = ts + tw
+    sdirs = warped - to[:, None, :]
+    dn = sdirs / torch.norm(sdirs, dim=-1, keepdim=True)
+    penc, denc = _torch_encoder(pos_L), _torch_encoder(dir_L)
+    inp = torch.cat([penc(warped).view(R * S, -1),
+                     denc(dn).reshape(R * S, -1)], -1)
+    raw = t_net(inp).view(R, S, 4)
+    want, _ = _torch_raw2outputs(raw, tz, sdirs, True)
+    np.testing.assert_allclose(np.asarray(out["rgb_coarse"]),
+                               want.detach().numpy(), atol=2e-4)
