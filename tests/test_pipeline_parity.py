@@ -486,3 +486,53 @@ def test_vertex_sphere_pipeline_matches_torch_oracle(rng):
     want, _ = _torch_raw2outputs(raw, tz, sdirs, True)
     np.testing.assert_allclose(np.asarray(out["rgb_coarse"]),
                                want.detach().numpy(), atol=2e-4)
+
+
+def test_supervised_warp_pipeline_matches_torch_oracle(rng):
+    """'warp' family vs reference warp training inputs (warp_solver.py:31-43 /
+    smpl_nerf_pipeline's warp-input layout): warp MLP on [sample_enc|pose_enc]."""
+    import torch.nn as tnn
+
+    from smpl_nerf_tpu.models import warp_field_net as wfn_mod
+    from smpl_nerf_tpu.models.warp_field_net import WarpFieldNet
+
+    pos_L, pose_L, w_warp, R = 4, 3, 16, 20
+    pos_dim, pose_dim = 3 * 2 * pos_L, 2 * 2 * pose_L
+
+    torch.manual_seed(5)
+
+    class TWarp(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.linear1 = tnn.Linear(pos_dim + pose_dim, w_warp)
+            self.linear2 = tnn.Linear(w_warp, 3)
+
+        def forward(self, x):
+            return self.linear2(F.relu(self.linear1(x)))
+
+    t_warp = TWarp()
+    parser = config_mod.config_parser()
+    args = parser.parse_args([
+        "--config=/dev/null", "--model_type=warp", "--human_pose_encoding=1",
+        f"--netwidth_warp={w_warp}", f"--number_frequencies_postitional={pos_L}",
+        f"--number_frequencies_pose={pose_L}", "--use_pallas=0"])
+    encoders = build_encoders(args)
+    models = {"model_warp_field": WarpFieldNet(width=w_warp,
+                                               positions_dim=pos_dim,
+                                               pose_dim=pose_dim)}
+    params = {"model_warp_field": wfn_mod.import_torch_state_dict(
+        {k: v.numpy() for k, v in t_warp.state_dict().items()})}
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+
+    samples = rng.uniform(-1, 1, (R, 3)).astype(np.float32)
+    pose69 = rng.uniform(-0.5, 0.5, (R, 69)).astype(np.float32)
+    batch = {"ray_samples": jnp.asarray(samples),
+             "human_pose": jnp.asarray(pose69), "rgb": jnp.zeros((R, 3))}
+    out = pipeline(params, batch, None, False)
+
+    tp = torch.from_numpy(pose69)
+    pose2 = torch.stack([tp[:, 38], tp[:, 41]], -1)
+    inp = torch.cat([_torch_encoder(pos_L)(torch.from_numpy(samples)),
+                     _torch_encoder(pose_L)(pose2)], -1)
+    want = t_warp(inp).detach().numpy()
+    np.testing.assert_allclose(np.asarray(out["warp"]), want, atol=1e-5)
