@@ -306,6 +306,7 @@ class Solver:
         # post-resume epoch
         self.epoch_offset = 0
         self.best_val = float("inf")
+        self.val_curve = []  # per-epoch metrics, persisted as val_curve.json
 
         # --param_ema: exponential moving average of the weights, used for
         # validation + checkpoints (beyond-reference; the raw weights keep
@@ -680,6 +681,21 @@ class Solver:
                 from smpl_nerf_tpu.training import checkpoints
                 checkpoints.save_run(self.log_dir, self.eval_params, args,
                                      self.parser)
+                # machine-readable per-epoch curve: tunnel outages routinely
+                # cut runs mid-budget, and the in-training val estimate is
+                # then the only quality evidence — keep it as an artifact
+                # (absolute epoch numbering survives --load_run resumes)
+                if jax.process_index() == 0:
+                    import json
+                    self.val_curve.append({
+                        "epoch": self.epoch_offset + epoch,
+                        "train_loss": float(train_loss),
+                        "val_loss": float(val_loss),
+                        "psnr_estimate": float(mse2psnr(max(val_loss / 2, 1e-10))),
+                        "rays_per_sec": round(rays_per_sec, 1)})
+                    with open(os.path.join(self.log_dir, "val_curve.json"),
+                              "w") as fh:
+                        json.dump(self.val_curve, fh, indent=1)
                 # full-fidelity resume state (optimizer moments + EMA shadow
                 # + the raw weights the moments belong to): a crash mid-run
                 # resumes without restarting Adam cold

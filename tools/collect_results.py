@@ -36,6 +36,13 @@ def collect(runs_dir: str, match: str = ""):
             s = json.load(open(flat))
             rows.append((name, s.get("psnr"), s.get("ssim"),
                          s.get("lpips") or s.get("rlpips")))
+        curve = os.path.join(run, "val_curve.json")
+        if os.path.exists(curve) and not glob.glob(
+                os.path.join(run, "renders_val*", "scores.json")):
+            c = json.load(open(curve))
+            if c:
+                rows.append((f"{name} [in-training est., ep{c[-1]['epoch']}]",
+                             c[-1].get("psnr_estimate"), None, None))
         pe = os.path.join(run, "pose_errors.json")
         if os.path.exists(pe):
             s = json.load(open(pe))
