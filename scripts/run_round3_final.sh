@@ -44,3 +44,20 @@ if [ -z "$IW_OUT" ] || [ ! -f "$IW_OUT/pose_errors.json" ]; then
     --lrate_pose_decay=15 --warp_radius=0.15 \
     --num_epochs=${IW_EPOCHS:-40} --experiment_name=image_wise_256_decay
 fi
+
+# ---- 3. single-GT head-to-heads (reference evaluate_pix2pix.py workflow) ----
+# Mirrors the walking row (runs/comparison_walking.gif): score Ours and the
+# pix2pix stand-in against the SAME <motion>_256_aa val PNGs + 3-way GIF.
+# CPU-forced: pure PNG scoring, keeps the TPU free and tunnel-outage-proof.
+for MOTION in waving arms_swinging; do
+  OURS=$(ls -d runs/*flagship_aa_${MOTION} 2>/dev/null | tail -1)
+  if [ -n "$OURS" ] && [ -f "runs/baseline_p2p_${MOTION}/scores.json" ] \
+     && [ ! -f "runs/comparison_${MOTION}.gif" ]; then
+    JAX_PLATFORMS=cpu python evaluate_pix2pix.py \
+      --gt_dir "data/${MOTION}_256_aa/val" \
+      --nerf_dir "$OURS/renders_val" \
+      --pix2pix_dir "runs/baseline_p2p_${MOTION}" \
+      --out "runs/comparison_${MOTION}.gif" \
+      | tee "runs/baseline_p2p_${MOTION}/head_to_head.log"
+  fi
+done
