@@ -28,24 +28,7 @@ for MOTION in waving arms_swinging; do
   fi
 done
 
-# ---- 2. analysis-by-synthesis with pose-lr decay ----------------------------
-# ~1280 steps/epoch (40 imgs x 65536/2048 rays); decay_k=15 puts the pose lr
-# at 0.1x around the epoch-12 basin arrival and ~1e-3x by epoch 40.
-CANON=$(ls -d runs/*canonical_nerf_256 | tail -1)
-IW_OUT=$(ls -d runs/*image_wise_256_decay 2>/dev/null | tail -1)
-if [ -z "$IW_OUT" ] || [ ! -f "$IW_OUT/pose_errors.json" ]; then
-  python train.py --config=/dev/null --dataset_dir=data/arm25_256 \
-    --model_type=image_wise_dynamic --batchsize=2048 --batchsize_val=4096 \
-    --number_coarse_samples=64 --run_fine=0 --sigma_noise_std=0 \
-    --white_background=1 --near=1.0 --far=4.0 --skips=4 \
-    --compute_dtype=bfloat16 --use_pallas=1 \
-    --number_validation_images=0 --render_gif=0 \
-    --load_coarse_model="$CANON/best" --lrate_pose=3e-3 \
-    --lrate_pose_decay=15 --warp_radius=0.15 \
-    --num_epochs=${IW_EPOCHS:-40} --experiment_name=image_wise_256_decay
-fi
-
-# ---- 3. single-GT head-to-heads (reference evaluate_pix2pix.py workflow) ----
+# ---- 2. single-GT head-to-heads (reference evaluate_pix2pix.py workflow) ----
 # Mirrors the walking row (runs/comparison_walking.gif): score Ours and the
 # pix2pix stand-in against the SAME <motion>_256_aa val PNGs + 3-way GIF.
 # CPU-forced: pure PNG scoring, keeps the TPU free and tunnel-outage-proof.
@@ -61,3 +44,20 @@ for MOTION in waving arms_swinging; do
       | tee "runs/baseline_p2p_${MOTION}/head_to_head.log"
   fi
 done
+
+# ---- 3. analysis-by-synthesis with pose-lr decay ----------------------------
+# ~1280 steps/epoch (40 imgs x 65536/2048 rays); decay_k=15 puts the pose lr
+# at 0.1x around the epoch-12 basin arrival and ~1e-3x by epoch 40.
+CANON=$(ls -d runs/*canonical_nerf_256 | tail -1)
+IW_OUT=$(ls -d runs/*image_wise_256_decay 2>/dev/null | tail -1)
+if [ -z "$IW_OUT" ] || [ ! -f "$IW_OUT/pose_errors.json" ]; then
+  python train.py --config=/dev/null --dataset_dir=data/arm25_256 \
+    --model_type=image_wise_dynamic --batchsize=2048 --batchsize_val=4096 \
+    --number_coarse_samples=64 --run_fine=0 --sigma_noise_std=0 \
+    --white_background=1 --near=1.0 --far=4.0 --skips=4 \
+    --compute_dtype=bfloat16 --use_pallas=1 \
+    --number_validation_images=0 --render_gif=0 \
+    --load_coarse_model="$CANON/best" --lrate_pose=3e-3 \
+    --lrate_pose_decay=15 --warp_radius=0.15 \
+    --num_epochs=${IW_EPOCHS:-40} --experiment_name=image_wise_256_decay
+fi
