@@ -536,3 +536,135 @@ def test_supervised_warp_pipeline_matches_torch_oracle(rng):
                      _torch_encoder(pose_L)(pose2)], -1)
     want = t_warp(inp).detach().numpy()
     np.testing.assert_allclose(np.asarray(out["warp"]), want, atol=1e-5)
+
+
+# --------------------------------------------------------------- dynamic
+
+def _lbs_oracle(model, betas, body_pose):
+    """Independent numpy/scipy LBS oracle of the standard SMPL equations.
+
+    Mirrors what the reference delegates to smplx.lbs (driven per-ray by
+    dynamic_pipeline.py:45-51): shape blendshapes -> rest joints -> rodrigues
+    per joint (scipy, NOT our rodrigues) -> forward-kinematics chain ->
+    rest-joint removal -> linear blend skinning. float64 throughout.
+    """
+    from scipy.spatial.transform import Rotation
+
+    betas = np.asarray(betas, np.float64).reshape(-1)
+    nb = min(len(betas), model.shapedirs.shape[-1])
+    v = model.v_template.astype(np.float64) + np.einsum(
+        "vcb,b->vc", model.shapedirs[..., :nb].astype(np.float64), betas[:nb])
+    if model.rest_joints is not None:
+        joints = model.rest_joints.astype(np.float64)
+    else:
+        joints = model.joint_regressor.astype(np.float64) @ v
+    full_pose = np.concatenate([np.zeros((1, 3)),
+                                np.asarray(body_pose, np.float64).reshape(23, 3)], 0)
+    rots = Rotation.from_rotvec(full_pose).as_matrix()          # [24, 3, 3]
+    if model.posedirs.size:
+        pf = (rots[1:] - np.eye(3)).reshape(-1)
+        v = v + np.einsum("vcp,p->vc", model.posedirs.astype(np.float64), pf)
+    A = np.zeros((24, 4, 4))
+    for j in range(24):
+        p = model.parents[j]
+        rel = np.eye(4)
+        rel[:3, :3] = rots[j]
+        rel[:3, 3] = joints[j] - (joints[p] if p >= 0 else 0.0)
+        A[j] = A[p] @ rel if p >= 0 else rel
+    G = A.copy()
+    G[:, :3, 3] -= np.einsum("jrc,jc->jr", A[:, :3, :3], joints)
+    T = np.einsum("vj,jrc->vrc", model.lbs_weights.astype(np.float64), G)
+    v_h = np.concatenate([v, np.ones((len(v), 1))], 1)
+    return np.einsum("vrc,vc->vr", T, v_h)[:, :3]
+
+
+@pytest.mark.parametrize("images_per_batch", [0, 2])
+def test_dynamic_pipeline_matches_torch_oracle(images_per_batch, rng):
+    """dummy_dynamic vs the reference dynamic chain (dynamic_pipeline.py:40-83):
+    per-image estimator pose lookup -> SMPL LBS -> canonical-minus-goal warp
+    vectors -> modified-softmax vertex attention -> warped NeRF composite.
+    Whole chain with shared MLP weights; LBS via an independent scipy oracle,
+    attention via the dense numpy oracle, composite via the torch oracle.
+    Covers both lookup paths: full-table (K=0) and unique-image (K=2,
+    the --images_per_batch production path).
+    """
+    from smpl_nerf_tpu.models import smpl as smpl_mod
+    from smpl_nerf_tpu.models.dummy_estimators import DummySmplEstimatorModel
+    from tests.test_models import _torch_render_ray_net
+    from tests.test_ops import _attention_oracle
+
+    pos_L, dir_L, n_layers, width, R, S = 4, 2, 3, 32, 10, 6
+    n_img, radius, temp = 4, 0.35, 40.0
+    human = smpl_mod.procedural_human(rings=3, segments=6)
+    betas = np.zeros(10, np.float32)
+    goal_poses = (0.25 * rng.randn(n_img, 69)).astype(np.float32)
+
+    torch.manual_seed(13)
+    pos_dim, dir_dim = 3 * 2 * pos_L, 3 * 2 * dir_L
+    t_net = _torch_render_ray_net(n_layers, width, pos_dim, dir_dim, 0, [1], 1)
+    parser = config_mod.config_parser()
+    args = parser.parse_args([
+        "--config=/dev/null", "--model_type=dummy_dynamic",
+        f"--netdepth={n_layers}", f"--netwidth={width}", "--skips=1",
+        f"--number_coarse_samples={S}", "--run_fine=0",
+        f"--number_frequencies_postitional={pos_L}",
+        f"--number_frequencies_directional={dir_L}", "--sigma_noise_std=0",
+        "--white_background=1", "--use_pallas=0",
+        f"--warp_radius={radius}", f"--warp_temperature={temp}",
+        f"--images_per_batch={images_per_batch}"])
+    encoders = build_encoders(args)
+    models = {
+        "model_coarse": RenderRayNet(n_layers=n_layers, width=width,
+                                     positions_dim=pos_dim, directions_dim=dir_dim,
+                                     skips=(1,)),
+        "smpl_estimator": DummySmplEstimatorModel(goal_poses=goal_poses,
+                                                  betas=betas),
+    }
+    params = {
+        "model_coarse": rrn_mod.import_torch_state_dict(
+            {k: v.numpy() for k, v in t_net.state_dict().items()}, n_layers),
+        "smpl_estimator": models["smpl_estimator"].init(
+            jax.random.PRNGKey(0), jnp.zeros((1,), jnp.int32)),
+    }
+    extras = {"smpl_model": human, "betas": betas, "num_images": n_img}
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders,
+                              extras)
+
+    # rays through the body: origins on a circle, samples near goal vertices
+    # (so the attention warp is active), ascending z_vals
+    image_indices = rng.randint(0, 2 if images_per_batch else n_img, R)
+    goal_verts_np = np.stack([_lbs_oracle(human, betas, goal_poses[i])
+                              for i in range(n_img)])          # [N, V, 3]
+    canonical_np = _lbs_oracle(human, betas, np.zeros(69))
+    origins = np.tile(np.asarray([[0.0, 0.0, 2.4]], np.float32), (R, 1))
+    anchor = goal_verts_np[image_indices, rng.randint(0, human.num_vertices, R)]
+    samples = (anchor[:, None, :]
+               + 0.1 * rng.randn(R, S, 3)).astype(np.float32)  # [R, S, 3]
+    z_vals = np.sort(rng.uniform(1.0, 4.0, (R, S)).astype(np.float32), -1)
+
+    batch = {"ray_translation": jnp.asarray(origins),
+             "ray_direction": jnp.zeros((R, 3), jnp.float32),
+             "ray_samples": jnp.asarray(samples),
+             "z_vals": jnp.asarray(z_vals),
+             "image_indices": jnp.asarray(image_indices, jnp.int32),
+             "rgb": jnp.zeros((R, 3))}
+    out = pipeline(params, batch, None, False)
+
+    # ---- oracle chain -----------------------------------------------------
+    ray_verts = goal_verts_np[image_indices].astype(np.float32)    # [R, V, 3]
+    ray_warps = (canonical_np[None] - goal_verts_np)[image_indices].astype(
+        np.float32)
+    warp = _attention_oracle(samples.astype(np.float64),
+                             ray_verts.astype(np.float64),
+                             ray_warps.astype(np.float64), radius, temp)
+    np.testing.assert_allclose(np.asarray(out["warp"]), warp, atol=2e-4)
+
+    warped = torch.from_numpy((samples + warp).astype(np.float32))
+    sdirs = warped - torch.from_numpy(origins)[:, None, :]
+    dn = sdirs / torch.norm(sdirs, dim=-1, keepdim=True)
+    penc, denc = _torch_encoder(pos_L), _torch_encoder(dir_L)
+    inp = torch.cat([penc(warped).view(R * S, -1), denc(dn).reshape(R * S, -1)], -1)
+    raw = t_net(inp).view(R, S, 4)
+    want, _ = _torch_raw2outputs(raw, torch.from_numpy(z_vals), sdirs, True)
+    np.testing.assert_allclose(np.asarray(out["rgb_coarse"]),
+                               want.detach().numpy(), atol=5e-4)
