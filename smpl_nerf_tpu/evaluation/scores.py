@@ -225,6 +225,10 @@ def print_scores(renders, truths) -> dict:
     hw = shape[-3:-1] if len(shape) >= 3 else (0, 0)
     if min(hw) >= 32 and not os.environ.get("SMPL_NERF_TPU_NO_RLPIPS"):
         out["rlpips"] = rlpips(renders, truths)
+    elif min(hw) < 32:
+        # no silent caps: say why the perceptual column is absent
+        print(f"rlpips skipped: images are {hw[0]}x{hw[1]} but the 4-maxpool "
+              "VGG stack needs >= 32px per side")
     lp = lpips(renders, truths)
     if lp is not None:
         out["lpips"] = lp

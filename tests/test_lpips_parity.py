@@ -180,6 +180,9 @@ def test_print_scores_includes_rlpips_for_large_images(rng, capsys):
     y = rng.rand(1, 32, 32, 3).astype(np.float32)
     out = scores.print_scores(x, y)
     assert "rlpips" in out and out["rlpips"] > 0
-    # too small for the 4-maxpool stack -> omitted, not crashed
+    # too small for the 4-maxpool stack -> omitted, not crashed, and SAID
+    # (no-silent-caps rule): the skip is announced on stdout
+    capsys.readouterr()
     small = scores.print_scores(x[:, :16, :16], y[:, :16, :16])
     assert "rlpips" not in small
+    assert "rlpips skipped" in capsys.readouterr().out
