@@ -668,3 +668,143 @@ def test_dynamic_pipeline_matches_torch_oracle(images_per_batch, rng):
     want, _ = _torch_raw2outputs(raw, torch.from_numpy(z_vals), sdirs, True)
     np.testing.assert_allclose(np.asarray(out["rgb_coarse"]),
                                want.detach().numpy(), atol=5e-4)
+
+
+# ------------------------------------------------- append_vertex_locations
+
+@pytest.mark.parametrize("images_per_batch,single_image", [
+    (0, False),   # full pose-table lookup
+    (2, False),   # unique-image production path, both slots used
+    (2, True),    # all rays on ONE image: exercises the jnp.unique
+                  # fill_value=-1 padding branch of _goal_verts_table
+])
+def test_append_vertices_pipeline_matches_torch_oracle(images_per_batch,
+                                                       single_image, rng):
+    """append_vertex_locations_to_nerf vs the reference chain
+    (append_vertices_pipeline.py:29-58 + append_vertices_net.py:30-33):
+    per-image estimator pose lookup -> SMPL LBS -> flattened goal-vertex
+    cloud -> embedding MLP -> [emb | pos_enc | dir_enc] trunk -> composite,
+    plus the hierarchical fine pass reusing the per-ray embedding. LBS via
+    the independent scipy oracle; embedding via a float64 numpy
+    re-expression; trunk/composite/inverse-CDF via the torch oracle.
+    (The reference net computes the embedding and DROPS it — a documented
+    dead branch; we test the intended, effective conditioning.)
+    """
+    from smpl_nerf_tpu.models import smpl as smpl_mod
+    from smpl_nerf_tpu.models.dummy_estimators import DummySmplEstimatorModel
+    from smpl_nerf_tpu.training.factory import VertexEmbedder
+    from tests.test_models import _torch_render_ray_net
+
+    pos_L, dir_L, n_layers, width = 4, 2, 3, 32
+    S_c, S_f, R, n_img, emb_dim = 6, 8, 10, 4, 8
+    near, far = 1.0, 4.0
+    human = smpl_mod.procedural_human(rings=3, segments=6)
+    betas = np.zeros(10, np.float32)
+    goal_poses = (0.25 * rng.randn(n_img, 69)).astype(np.float32)
+
+    torch.manual_seed(7)
+    pos_dim, dir_dim = 3 * 2 * pos_L, 3 * 2 * dir_L
+    t_coarse = _torch_render_ray_net(n_layers, width, pos_dim, dir_dim,
+                                     emb_dim, [1], 1)
+    t_fine = _torch_render_ray_net(n_layers, width, pos_dim, dir_dim,
+                                   emb_dim, [1], 1)
+    to_np = lambda net: {k: v.numpy() for k, v in net.state_dict().items()}
+
+    parser = config_mod.config_parser()
+    args = parser.parse_args([
+        "--config=/dev/null", "--model_type=append_vertex_locations_to_nerf",
+        f"--netdepth={n_layers}", f"--netwidth={width}", "--skips=1",
+        f"--netdepth_fine={n_layers}", f"--netwidth_fine={width}",
+        "--skips_fine=1", "--run_fine=1",
+        f"--number_coarse_samples={S_c}", f"--number_fine_samples={S_f}",
+        f"--number_frequencies_postitional={pos_L}",
+        f"--number_frequencies_directional={dir_L}", "--sigma_noise_std=0",
+        "--white_background=1", f"--near={near}", f"--far={far}",
+        "--use_pallas=0", f"--images_per_batch={images_per_batch}"])
+    encoders = build_encoders(args)
+    mk = lambda: RenderRayNet(n_layers=n_layers, width=width,
+                              positions_dim=pos_dim, directions_dim=dir_dim,
+                              additional_input_dim=emb_dim, skips=(1,))
+    models = {
+        "model_coarse": mk(), "model_fine": mk(),
+        "smpl_estimator": DummySmplEstimatorModel(goal_poses=goal_poses,
+                                                  betas=betas),
+        "vertex_embedder": VertexEmbedder(width=width, embedding_dim=emb_dim),
+    }
+    V = human.num_vertices
+    params = {
+        "model_coarse": rrn_mod.import_torch_state_dict(to_np(t_coarse), n_layers),
+        "model_fine": rrn_mod.import_torch_state_dict(to_np(t_fine), n_layers),
+        "smpl_estimator": models["smpl_estimator"].init(
+            jax.random.PRNGKey(0), jnp.zeros((1,), jnp.int32)),
+        "vertex_embedder": models["vertex_embedder"].init(
+            jax.random.PRNGKey(1), jnp.zeros((1, V * 3))),
+    }
+    extras = {"smpl_model": human, "betas": betas, "num_images": n_img}
+    pipeline = build_pipeline(RenderConfig.from_args(args), models, encoders,
+                              extras)
+
+    origins = np.tile(np.asarray([[0.0, 0.0, 2.4]], np.float32), (R, 1))
+    dirs = rng.uniform(-0.3, 0.3, (R, 3)).astype(np.float32)
+    dirs[:, 2] = -1.0
+    if single_image:
+        image_indices = np.full(R, 3, np.int64)
+    else:
+        image_indices = rng.randint(0, 2 if images_per_batch else n_img, R)
+
+    batch = {"ray_translation": jnp.asarray(origins),
+             "ray_direction": jnp.asarray(dirs),
+             "image_indices": jnp.asarray(image_indices, jnp.int32),
+             "rgb": jnp.zeros((R, 3))}
+    out = pipeline(params, batch, None, False)
+
+    # ---- oracle chain ------------------------------------------------------
+    goal_verts_np = np.stack([_lbs_oracle(human, betas, goal_poses[i])
+                              for i in range(n_img)])            # [N, V, 3]
+    verts_flat = goal_verts_np[image_indices].reshape(R, V * 3)
+    ep = params["vertex_embedder"]["params"]
+    emb = np.maximum(verts_flat @ np.asarray(ep["embed_0"]["kernel"], np.float64)
+                     + np.asarray(ep["embed_0"]["bias"], np.float64), 0.0)
+    emb = np.maximum(emb @ np.asarray(ep["embed_out"]["kernel"], np.float64)
+                     + np.asarray(ep["embed_out"]["bias"], np.float64), 0.0)
+    emb_t = torch.from_numpy(emb.astype(np.float32))             # [R, emb_dim]
+
+    t = np.linspace(0, 1, S_c, dtype=np.float64)
+    z = 1.0 / (1.0 / near * (1 - t) + 1.0 / far * t)
+    mids = 0.5 * (z[1:] + z[:-1])
+    upper = np.concatenate([mids, z[-1:]])
+    lower = np.concatenate([z[:1], mids])
+    z_vals = torch.tensor((lower + (upper - lower) * 0.5)[None].repeat(R, 0),
+                          dtype=torch.float32)
+    to = torch.from_numpy(origins)
+    td = torch.from_numpy(dirs)
+    penc, denc = _torch_encoder(pos_L), _torch_encoder(dir_L)
+    dn = (td / torch.norm(td, dim=-1, keepdim=True))[:, None, :]  # [R, 1, 3]
+
+    samples = to[:, None] + td[:, None] * z_vals[..., None]
+    dirs_exp = td[:, None, :].expand(R, S_c, 3)
+    de = denc(dn).expand(R, S_c, dir_dim)
+    pe = emb_t[:, None, :].expand(R, S_c, emb_dim)
+    inp = torch.cat([pe.reshape(R * S_c, -1), penc(samples).view(R * S_c, -1),
+                     de.reshape(R * S_c, -1)], -1)
+    raw = t_coarse(inp).view(R, S_c, 4)
+    rgb_c, weights = _torch_raw2outputs(raw, z_vals, dirs_exp, True)
+
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_fine = _torch_sample_pdf(z_mid, weights[..., 1:-1], S_f).detach()
+    z_all, _ = torch.sort(torch.cat([z_vals, z_fine], -1), -1)
+    Sf_all = S_c + S_f
+    samples_f = to[:, None] + td[:, None] * z_all[..., None]
+    pe_f = emb_t[:, None, :].expand(R, Sf_all, emb_dim)
+    de_f = denc(dn).expand(R, Sf_all, dir_dim)
+    inp_f = torch.cat([pe_f.reshape(R * Sf_all, -1),
+                       penc(samples_f).view(R * Sf_all, -1),
+                       de_f.reshape(R * Sf_all, -1)], -1)
+    raw_f = t_fine(inp_f).view(R, Sf_all, 4)
+    dirs_f = td[:, None, :].expand(R, Sf_all, 3)
+    rgb_f, _ = _torch_raw2outputs(raw_f, z_all, dirs_f, True)
+
+    np.testing.assert_allclose(np.asarray(out["rgb_coarse"]),
+                               rgb_c.detach().numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["rgb_fine"]),
+                               rgb_f.detach().numpy(), atol=2e-3)
