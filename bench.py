@@ -133,7 +133,47 @@ def bench_jax(batch: int = 2048, steps: int = 32):
 
     render_args, render_pipeline, render_params = g._build([
         f"--use_pallas={use_pallas}", "--sigma_noise_std=0", "--run_fine=1",
-        "--compute_dtype=bfloat16"])
+        "--compute_dtype=bfloat16", "--white_background=1"])
+
+    # Train the render model briefly on a synthetic white-background ball
+    # scene (colored disc of rays ~25% of the cone, white elsewhere) so the
+    # occupancy-culled renderer is measured INSIDE its documented
+    # precondition: empty space must carry ~zero density (ops/occupancy.py
+    # docstring; round-3 bench warned and occupancy lost its win). The
+    # white-background loss drives density to zero along white rays.
+    def _ball_rgb(batch_data):
+        d = np.asarray(batch_data["ray_direction"])
+        hit = (d[:, 0] ** 2 + d[:, 1] ** 2) < 0.17 ** 2
+        rgb = np.where(hit[:, None],
+                       np.asarray([[0.8, 0.25, 0.2]], np.float32),
+                       np.ones((1, 3), np.float32))
+        return dict(batch_data, rgb=jnp.asarray(rgb))
+
+    pre_loss = make_loss_fn(render_pipeline)
+    pre_tx = optax.adam(5e-4)
+    pre_opt = pre_tx.init(render_params)
+
+    @jax.jit
+    def pretrain_scan(params, opt_state, batch_data, rng):
+        def body(carry, sub):
+            params, opt_state = carry
+            (loss, _), grads = jax.value_and_grad(pre_loss, has_aux=True)(
+                params, batch_data, sub, True)
+            updates, opt_state = pre_tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jax.random.split(rng, 8))
+        return params, opt_state, losses[-1]
+
+    pre_batch = _ball_rgb(g._example_batch(2048, seed=3))
+    rng_pre = jax.random.PRNGKey(7)
+    for _ in range(48):  # 384 Adam steps — enough to whiteout empty space
+        rng_pre, sub = jax.random.split(rng_pre)
+        render_params, pre_opt, pre_l = pretrain_scan(
+            render_params, pre_opt, pre_batch, sub)
+    _stderr(f"render-model pretrain (white-background ball): "
+            f"final loss {float(pre_l):.5f}")
 
     @jax.jit
     def render_naive(p, batch_data):
