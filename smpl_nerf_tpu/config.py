@@ -184,6 +184,10 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--use_gmm_loss", default=0, type=int)
     parser.add_argument("--vertex_sphere_radius", type=float, default=0.01)
     parser.add_argument("--warp_by_vertex_mean", type=int, default=0)
+    # TPU extension: -1 auto (in-step when the precomputed per-ray warp
+    # arrays would exceed ~2 GB), 0 precompute (reference semantics),
+    # 1 force in-step (shared-jitter z path only)
+    parser.add_argument("--vertex_sphere_in_step", type=int, default=-1)
     parser.add_argument("--coarse_samples_from_prior", type=int, default=0)
     parser.add_argument("--coarse_samples_from_intersect", type=int, default=0)
     parser.add_argument("--std_dev_coarse_sample_prior", type=float, default=0.03)

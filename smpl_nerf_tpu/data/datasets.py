@@ -59,10 +59,13 @@ class RayData:
     surface_samples: Optional[np.ndarray] = None  # [N, 3]
     warp: Optional[np.ndarray] = None             # [N, 3]
     depth: Optional[np.ndarray] = None            # [N]
-    # vertex_sphere extras
+    # vertex_sphere extras (precomputed path)
     z_vals: Optional[np.ndarray] = None           # [N, S]
     ray_samples: Optional[np.ndarray] = None      # [N, S, 3]
     sample_warps: Optional[np.ndarray] = None     # [N, S, 3]
+    # vertex_sphere extras (in-step path: warps recomputed per batch)
+    vs_goal_verts: Optional[np.ndarray] = None    # [N_img, V, 3]
+    vs_z: Optional[np.ndarray] = None             # [S] shared coarse jitter
     # estimator extras
     images: Optional[np.ndarray] = None           # [N_img, h, w, 3]
 
@@ -87,8 +90,16 @@ class RayData:
             out.update(ray_samples=self.surface_samples, warp=self.warp,
                        z_vals=self.depth[:, None])
         if model_type == "vertex_sphere":
-            out.update(ray_samples=self.ray_samples, warp=self.sample_warps,
-                       z_vals=self.z_vals)
+            if self.ray_samples is not None:
+                out.update(ray_samples=self.ray_samples, warp=self.sample_warps,
+                           z_vals=self.z_vals)
+            else:
+                # in-step path: per-image goal meshes + the shared jitter ride
+                # as per-IMAGE tables; the pipeline recomputes samples and
+                # warps per batch (O(N_img*V) HBM instead of O(N_rays*S))
+                out["goal_verts_table"] = self.vs_goal_verts
+                out["vs_z_table"] = np.tile(self.vs_z[None],
+                                            (self.num_images, 1))
         return out
 
 
@@ -214,6 +225,33 @@ def _attach_vertex_sphere(data: RayData, args):
     z_simple = (lower + (upper - lower) * np.random.rand()).astype(np.float32)
 
     betas = data.betas if data.betas is not None else np.zeros(10, np.float32)
+
+    # ---- in-step mode gate ---------------------------------------------
+    # The precomputed per-ray-sample arrays are O(N_rays*S*7) floats — ~23 GB
+    # at the reference's 256^2/230-image protocol, far past the 16 GB HBM the
+    # dataset arrays live in. In-step mode stores only the per-image goal
+    # meshes + the shared jitter and recomputes the warp per batch
+    # (pipelines.vertex_sphere_fn / ops.sample_warps_by_vertex_sphere_rays).
+    # Only the shared-jitter z path is reproducible in-step; the
+    # prior/intersect z paths stay precomputed (they store real per-ray z).
+    mode = int(getattr(args, "vertex_sphere_in_step", -1))
+    per_ray_z = (int(getattr(args, "coarse_samples_from_prior", 0))
+                 or int(getattr(args, "coarse_samples_from_intersect", 0))
+                 or S == 1)
+    est_bytes = data.num_rays * S * 4 * 7
+    if mode == 1 or (mode < 0 and not per_ray_z and est_bytes > 2 * 1024 ** 3):
+        if per_ray_z:
+            raise ValueError(
+                "--vertex_sphere_in_step=1 supports only the shared-jitter z "
+                "path; --coarse_samples_from_prior/intersect need the "
+                "precomputed dataset (--vertex_sphere_in_step=0)")
+        goal = [np.asarray(smpl_mod.smpl_forward(
+                    smpl_model, jnp.asarray(betas),
+                    jnp.asarray(data.human_poses[i], jnp.float32)))
+                for i in range(data.num_images)]
+        data.vs_goal_verts = np.stack(goal).astype(np.float32)
+        data.vs_z = z_simple
+        return
     canonical = np.asarray(smpl_mod.smpl_forward(smpl_model, jnp.asarray(betas),
                                                  jnp.zeros(69)))
     n_img = data.num_images

@@ -68,3 +68,65 @@ def sample_warps_by_vertex_sphere(samples: jnp.ndarray, goal_vertices: jnp.ndarr
         (best_d, best_w), _ = jax.lax.scan(body, init, (gv, wv))
         warp = jnp.where((best_d < radius)[:, None], best_w, 0.0)
     return warp.reshape(R, S, 3)
+
+
+@partial(jax.jit, static_argnames=("radius", "by_mean", "chunk_size"))
+def sample_warps_by_vertex_sphere_rays(samples: jnp.ndarray,
+                                       goal_vertices: jnp.ndarray,
+                                       warp_vectors: jnp.ndarray, radius: float,
+                                       by_mean: bool = False,
+                                       chunk_size: int = 512) -> jnp.ndarray:
+    """Per-RAY goal meshes: samples [R,S,3], goal_vertices [R,V,3],
+    warp_vectors [R,V,3] -> [R,S,3].
+
+    The in-step twin of sample_warps_by_vertex_sphere for batches whose rays
+    come from different images (the --vertex_sphere_in_step training path —
+    the precomputed per-ray-sample warp arrays are O(N_rays*S) HBM, ~23 GB at
+    the reference's 256^2/230-image scale, so the warp is recomputed per step
+    instead; same trade as the dynamic family's in-step LBS). Nearest-vertex
+    selection is expressed as a one-hot matmul rather than argmin+gather (TPU
+    gathers are slow; ties are resolved by the earlier chunk / averaged within
+    a chunk, measure-zero for real meshes). Vertex axis chunked via lax.scan.
+    """
+    R, S, _ = samples.shape
+    V = goal_vertices.shape[1]
+    pad = (-V) % chunk_size
+    gv = jnp.pad(goal_vertices, ((0, 0), (0, pad), (0, 0)), constant_values=1e6)
+    wv = jnp.pad(warp_vectors, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = gv.shape[1] // chunk_size
+    gv = gv.reshape(R, n_chunks, chunk_size, 3).transpose(1, 0, 2, 3)
+    wv = wv.reshape(R, n_chunks, chunk_size, 3).transpose(1, 0, 2, 3)
+
+    if by_mean:
+        def body(carry, chunk):
+            s_warp, s_count = carry
+            verts, warps = chunk                                     # [R, C, 3]
+            d = jnp.linalg.norm(samples[:, :, None, :] - verts[:, None, :, :],
+                                axis=-1)                             # [R, S, C]
+            inside = (d < radius).astype(jnp.float32)
+            s_warp = s_warp + jnp.einsum("rsc,rcd->rsd", inside, warps)
+            s_count = s_count + inside.sum(-1)
+            return (s_warp, s_count), None
+
+        init = (jnp.zeros((R, S, 3), jnp.float32), jnp.zeros((R, S), jnp.float32))
+        (s_warp, s_count), _ = jax.lax.scan(body, init, (gv, wv))
+        return s_warp / (s_count[..., None] + 1e-10)
+
+    def body(carry, chunk):
+        best_d, best_w = carry
+        verts, warps = chunk
+        d = jnp.linalg.norm(samples[:, :, None, :] - verts[:, None, :, :],
+                            axis=-1)                                 # [R, S, C]
+        dmin = d.min(-1)
+        sel = (d == dmin[..., None]).astype(jnp.float32)
+        sel = sel / sel.sum(-1, keepdims=True)
+        wmin = jnp.einsum("rsc,rcd->rsd", sel, warps)
+        better = dmin < best_d
+        best_w = jnp.where(better[..., None], wmin, best_w)
+        best_d = jnp.minimum(best_d, dmin)
+        return (best_d, best_w), None
+
+    init = (jnp.full((R, S), jnp.inf, jnp.float32),
+            jnp.zeros((R, S, 3), jnp.float32))
+    (best_d, best_w), _ = jax.lax.scan(body, init, (gv, wv))
+    return jnp.where((best_d < radius)[..., None], best_w, 0.0)

@@ -58,6 +58,8 @@ class RenderConfig:
     use_fused_mlp: int = 0  # 0 off, 1 fused MLP, 2 fused MLP + in-kernel encoding
     warp_radius: float = 0.01
     warp_temperature: float = 10000.0
+    vertex_sphere_radius: float = 0.01
+    warp_by_vertex_mean: bool = False
     use_gmm_loss: bool = False
     gmm_std: float = 0.07
     images_per_batch: int = 0
@@ -78,6 +80,10 @@ class RenderConfig:
             use_fused_mlp=int(getattr(args, "use_fused_mlp", 0) or 0),
             warp_radius=float(args.warp_radius),
             warp_temperature=float(args.warp_temperature),
+            vertex_sphere_radius=float(getattr(args, "vertex_sphere_radius",
+                                               0.01)),
+            warp_by_vertex_mean=bool(int(getattr(args, "warp_by_vertex_mean",
+                                                 0) or 0)),
             use_gmm_loss=bool(int(args.use_gmm_loss)),
             gmm_std=float(args.gmm_std),
             images_per_batch=int(getattr(args, "images_per_batch", 0) or 0),
@@ -413,11 +419,31 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
     # --------------------------------------------------------- vertex_sphere
     def vertex_sphere_fn(params, batch, rng, train):
         _, rng_nc, _ = _split_rng(rng, 3)
-        samples = batch["ray_samples"]         # [R, S, 3]
-        z_vals = batch["z_vals"]
-        warp = batch["warp"]                   # [R, S, 3] precomputed gt warp
         noise = cfg.sigma_noise_std if train else 0.0
         origins = batch["ray_translation"]
+        if "warp" in batch:
+            samples = batch["ray_samples"]     # [R, S, 3]
+            z_vals = batch["z_vals"]
+            warp = batch["warp"]               # [R, S, 3] precomputed gt warp
+        else:
+            # in-step path (--vertex_sphere_in_step): samples from the shared
+            # dataset jitter, gt warp recomputed per batch from the rays' own
+            # goal meshes — O(N_img*V) HBM instead of O(N_rays*S); the
+            # recompute is one chunked distance matmul (same trade as the
+            # dynamic family's in-step LBS). vs_z / goal_verts arrive via the
+            # per-image _table gather (datasets.RayData.batch_arrays).
+            from smpl_nerf_tpu.ops.vertex_sphere import (
+                sample_warps_by_vertex_sphere_rays)
+            z_vals = batch["vs_z"]             # [R, S]
+            dirs = batch["ray_direction"]      # normalized at dataset load
+            samples = origins[:, None, :] + dirs[:, None, :] * z_vals[..., None]
+            goal_verts = batch["goal_verts"]   # [R, V, 3]
+            betas = jnp.asarray(extras["betas"], jnp.float32).reshape(-1)
+            canonical = smpl_mod.smpl_forward(extras["smpl_model"], betas,
+                                              jnp.zeros(69))
+            warp = sample_warps_by_vertex_sphere_rays(
+                samples, goal_verts, canonical[None] - goal_verts,
+                cfg.vertex_sphere_radius, cfg.warp_by_vertex_mean)
         warped = samples + warp
         samples_dirs = warped - origins[:, None, :]
         raw = _run("model_coarse", params, warped, _normalize(samples_dirs))

@@ -293,3 +293,52 @@ def test_smpl_estimator_cli_path(tmp_path):
     import shutil
     for rd in glob_mod.glob(os.path.join(repo, "runs", "*est_cli_test")):
         shutil.rmtree(rd, ignore_errors=True)
+
+
+def test_vertex_sphere_in_step_matches_precompute(smpl_nerf_dataset):
+    """--vertex_sphere_in_step: per-batch warp recompute == the reference's
+    precomputed per-ray-sample arrays (same shared jitter, same goal meshes);
+    the in-step path is what makes the family fit HBM at 256^2 scale."""
+    import jax.numpy as jnp
+    from smpl_nerf_tpu.training.solver import gather_batch
+
+    outs = []
+    for in_step in (0, 1):
+        args = _train_args(smpl_nerf_dataset, "vertex_sphere",
+                           vertex_sphere_radius=0.05,
+                           vertex_sphere_in_step=in_step)
+        args._smpl_model = smpl_mod.procedural_human(rings=3, segments=6)
+        np.random.seed(0)   # the shared z jitter must match across modes
+        data = datasets.load_dataset(os.path.join(smpl_nerf_dataset, "train"),
+                                     "vertex_sphere", args)
+        extras = {"num_images": data.num_images, "betas": data.betas,
+                  "goal_poses": data.human_poses,
+                  "smpl_model": args._smpl_model,
+                  "num_vertices": args._smpl_model.num_vertices}
+        models, params, encoders = build_models_and_params(
+            args, jax.random.PRNGKey(0), extras)
+        pipeline = build_pipeline(RenderConfig.from_args(args), models,
+                                  encoders, extras)
+        arrays = {k: jnp.asarray(v)
+                  for k, v in data.batch_arrays("vertex_sphere").items()}
+        if in_step:
+            assert "goal_verts_table" in arrays and "warp" not in arrays
+        else:
+            assert "warp" in arrays
+        idx = jnp.asarray(
+            np.arange(0, data.num_rays, max(1, data.num_rays // 64))[:48])
+        batch = gather_batch(arrays, idx)
+        out = pipeline(params, batch, None, False)
+        outs.append((np.asarray(out["rgb_coarse"]),
+                     np.asarray(out["warp"]),
+                     np.asarray(out["ray_samples"])))
+    np.testing.assert_allclose(outs[0][2], outs[1][2], atol=2e-5)  # samples
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=2e-5)  # gt warps
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=2e-4)  # pixels
+
+
+def test_vertex_sphere_in_step_trains(smpl_nerf_dataset):
+    solver = _run_solver(smpl_nerf_dataset, "vertex_sphere",
+                         {"vertex_sphere_radius": 0.05,
+                          "vertex_sphere_in_step": 1})
+    assert np.isfinite(solver.history["train_loss"]).all()

@@ -222,3 +222,36 @@ def test_vertex_sphere_mean_assignment(rng):
         jnp.asarray(samples), jnp.asarray(verts), jnp.asarray(warps), 0.05,
         by_mean=True, chunk_size=2))
     np.testing.assert_allclose(got[0, 0], [0.5, 0.5, 0.0], atol=1e-4)
+
+
+@pytest.mark.parametrize("by_mean", [False, True])
+def test_vertex_sphere_per_ray_matches_shared(by_mean, rng):
+    """The in-step per-ray op == the dataset-level op when every ray carries
+    the same goal mesh, and respects per-ray meshes when they differ."""
+    from smpl_nerf_tpu.ops.vertex_sphere import sample_warps_by_vertex_sphere_rays
+
+    R, S, V = 5, 4, 37
+    verts = rng.randn(V, 3).astype(np.float32)
+    warps = rng.randn(V, 3).astype(np.float32)
+    samples = (verts[rng.randint(0, V, (R, S))]
+               + 0.02 * rng.randn(R, S, 3)).astype(np.float32)
+    radius = 0.08
+    want = np.asarray(sample_warps_by_vertex_sphere(
+        jnp.asarray(samples), jnp.asarray(verts), jnp.asarray(warps), radius,
+        by_mean=by_mean, chunk_size=16))
+    got = np.asarray(sample_warps_by_vertex_sphere_rays(
+        jnp.asarray(samples),
+        jnp.broadcast_to(verts, (R, V, 3)),
+        jnp.broadcast_to(warps, (R, V, 3)), radius,
+        by_mean=by_mean, chunk_size=16))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    # per-ray meshes: shift ray 0's mesh far away -> its warps become zero
+    verts_r = np.broadcast_to(verts, (R, V, 3)).copy()
+    verts_r[0] += 100.0
+    got2 = np.asarray(sample_warps_by_vertex_sphere_rays(
+        jnp.asarray(samples), jnp.asarray(verts_r),
+        jnp.broadcast_to(warps, (R, V, 3)), radius,
+        by_mean=by_mean, chunk_size=16))
+    np.testing.assert_allclose(got2[0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(got2[1:], want[1:], atol=2e-5)
