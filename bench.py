@@ -143,7 +143,9 @@ def bench_jax(batch: int = 2048, steps: int = 32):
     # white-background loss drives density to zero along white rays.
     def _ball_rgb(batch_data):
         d = np.asarray(batch_data["ray_direction"])
-        hit = (d[:, 0] ** 2 + d[:, 1] ** 2) < 0.17 ** 2
+        # ~13% of the ray cone — comfortably inside the renderers'
+        # cap_fraction=0.25 cull budget so neither path saturates
+        hit = (d[:, 0] ** 2 + d[:, 1] ** 2) < 0.12 ** 2
         rgb = np.where(hit[:, None],
                        np.asarray([[0.8, 0.25, 0.2]], np.float32),
                        np.ones((1, 3), np.float32))
