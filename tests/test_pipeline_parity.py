@@ -578,8 +578,14 @@ def _lbs_oracle(model, betas, body_pose):
     return np.einsum("vrc,vc->vr", T, v_h)[:, :3]
 
 
-@pytest.mark.parametrize("images_per_batch", [0, 2])
-def test_dynamic_pipeline_matches_torch_oracle(images_per_batch, rng):
+@pytest.mark.parametrize("images_per_batch,single_image", [
+    (0, False),   # full pose-table lookup
+    (2, False),   # unique-image production path, both slots used
+    (2, True),    # all rays on ONE image: exercises the jnp.unique
+                  # fill_value=-1 padding branch of _goal_verts_table
+])
+def test_dynamic_pipeline_matches_torch_oracle(images_per_batch, single_image,
+                                               rng):
     """dummy_dynamic vs the reference dynamic chain (dynamic_pipeline.py:40-83):
     per-image estimator pose lookup -> SMPL LBS -> canonical-minus-goal warp
     vectors -> modified-softmax vertex attention -> warped NeRF composite.
@@ -632,7 +638,10 @@ def test_dynamic_pipeline_matches_torch_oracle(images_per_batch, rng):
 
     # rays through the body: origins on a circle, samples near goal vertices
     # (so the attention warp is active), ascending z_vals
-    image_indices = rng.randint(0, 2 if images_per_batch else n_img, R)
+    if single_image:
+        image_indices = np.full(R, 1, np.int32)
+    else:
+        image_indices = rng.randint(0, 2 if images_per_batch else n_img, R)
     goal_verts_np = np.stack([_lbs_oracle(human, betas, goal_poses[i])
                               for i in range(n_img)])          # [N, V, 3]
     canonical_np = _lbs_oracle(human, betas, np.zeros(69))
