@@ -70,6 +70,34 @@ run_stage () {
       "$RUN/inference.log"
 }
 
+# end-to-end flagship A/B for VERDICT item 8: same session, same chip phase,
+# 3 epochs each (epoch 0 = compile; epochs 1-2 give the steady rate). The
+# val_curve.json rays_per_sec column is the measurement.
+stage_fusedv2_e2e () {
+  local WDS=data/walking_256_aa
+  [ -d "$WDS/train" ] || return 0   # chain-1 generates it; skip if absent
+  local WCOMMON="--config=/dev/null --dataset_dir=$WDS
+    --model_type=append_smpl_params --human_pose_encoding=1
+    --number_frequencies_pose=4 --batchsize=2048 --batchsize_val=4096
+    --sigma_noise_std=1 --white_background=1 --near=1.0 --far=4.0 --skips=4
+    --lrate=5e-4 --lrate_decay=500 --compute_dtype=bfloat16 --scan_steps=16
+    --foreground_sample_ratio=0.5 --steps_per_epoch=2000 --val_rays=131072
+    --number_validation_images=0 --render_gif=0 --param_ema=0.999
+    --number_coarse_samples=64 --number_fine_samples=128 --run_fine=1
+    --skips_fine=4 --num_epochs=3"
+  for MODE in 0 2; do
+    local NAME=fusedv2_ab_mlp${MODE}
+    local RUN
+    RUN=$(ls -dt runs/*${NAME} 2>/dev/null | head -1)
+    if [ -z "$RUN" ] || [ ! -f "$RUN/val_curve.json" ]; then
+      timeout 3600 python train.py $WCOMMON --use_pallas=1 \
+          --use_fused_mlp=$MODE --experiment_name=$NAME || return 1
+      RUN=$(ls -dt runs/*${NAME} | head -1)
+    fi
+    commit_artifacts fusedv2_e2e "$RUN/val_curve.json"
+  done
+}
+
 stage_roofline () {  # $1 = phase tag
   local OUT=artifacts/round4/roofline_fusedmlp_$1.jsonl
   [ -s "$OUT" ] && return 0
@@ -122,6 +150,7 @@ for ATTEMPT in $(seq 1 ${MAX_ATTEMPTS:-12}); do
      && stage_vertex_sphere \
      && stage_append_vertices \
      && stage_sweep \
+     && stage_fusedv2_e2e \
      && stage_roofline b; then
     log "=== all round-4 chain-2 stages complete ==="
     exit 0
