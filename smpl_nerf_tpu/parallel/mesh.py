@@ -10,8 +10,9 @@ embarrassingly parallel, parameters are tiny (~1.2M floats), so the layout is
     specs, riding ICI within a slice.
 
 A second 'model' axis is provisioned for width-sharded MLPs (rarely worth it at
-W=256, but the mesh API supports '4,2'-style shapes); pipeline parallelism is
-pointless for an 8-layer MLP (SURVEY.md §2.9).
+W=256, but the mesh API supports '4,2'-style shapes). Pipeline parallelism is
+pointless at the reference's 8-layer/W=256 shape, but parallel/pp.py provides
+the GPipe-style depth-sharded trunk for the deep/wide regime where it isn't.
 
 Multi-host: call jax.distributed.initialize() before make_mesh and the same
 code runs across hosts — jax.devices() then spans the pod and per-host batches
