@@ -107,13 +107,13 @@ stage_roofline () {  # $1 = phase tag
 }
 
 stage_vertex_sphere () {
-  run_stage vertex_sphere_armsweep_256 ${VS_EPOCHS:-25} 10800 -- $COMMON \
+  run_stage vertex_sphere_armsweep_256 ${VS_EPOCHS:-20} 10800 -- $COMMON \
       --model_type=vertex_sphere --number_coarse_samples=64 --run_fine=0 \
       --vertex_sphere_radius=0.05
 }
 
 stage_append_vertices () {
-  run_stage appendverts_armsweep_256 ${AV_EPOCHS:-30} 12600 -- $COMMON \
+  run_stage appendverts_armsweep_256 ${AV_EPOCHS:-22} 12600 -- $COMMON \
       --model_type=append_vertex_locations_to_nerf \
       --number_coarse_samples=64 --number_fine_samples=128 --run_fine=1 \
       --skips_fine=4 --lrate_decay=500 --images_per_batch=8
@@ -122,7 +122,7 @@ stage_append_vertices () {
 # short-budget relative sweep: same protocol shape as the round-3
 # dummy_dynamic armsweep run (coarse-only), quarter budget per point
 stage_sweep () {
-  local SWEEP_STEPS=${SWEEP_STEPS:-1000} SWEEP_EPOCHS=${SWEEP_EPOCHS:-8}
+  local SWEEP_STEPS=${SWEEP_STEPS:-1000} SWEEP_EPOCHS=${SWEEP_EPOCHS:-6}
   for RT in 0.15:10000 0.05:10000 0.3:10000 0.15:1000 0.15:100000 \
             0.05:1000 0.05:100000 0.3:1000 0.3:100000; do
     local R=${RT%%:*} T=${RT##*:}
