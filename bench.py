@@ -21,10 +21,17 @@ from smpl_nerf_tpu._platform import apply_platform_env
 apply_platform_env()  # honor JAX_PLATFORMS=cpu despite the axon plugin
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# BENCH_SMOKE=1: shrink every stage (tiny batch/steps/image, 1 rep) so the
+# FULL code path — train scan, white-background pretrain, all three renderers
+# — executes on CPU in minutes. Numbers are meaningless in smoke mode; it
+# exists so bench.py changes are validated before the driver's on-chip run.
+SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
 
 
 def _stderr(*a):
@@ -72,6 +79,9 @@ def _wait_for_backend(max_wait_s: int) -> bool:
 def bench_jax(batch: int = 2048, steps: int = 32):
     import jax
     import jax.numpy as jnp
+
+    if SMOKE:
+        batch, steps = 256, 8
 
     import __graft_entry__ as g
     from smpl_nerf_tpu.training.solver import make_loss_fn
@@ -168,9 +178,9 @@ def bench_jax(batch: int = 2048, steps: int = 32):
             body, (params, opt_state), jax.random.split(rng, 8))
         return params, opt_state, losses[-1]
 
-    pre_batch = _ball_rgb(g._example_batch(2048, seed=3))
+    pre_batch = _ball_rgb(g._example_batch(256 if SMOKE else 2048, seed=3))
     rng_pre = jax.random.PRNGKey(7)
-    for _ in range(48):  # 384 Adam steps — enough to whiteout empty space
+    for _ in range(2 if SMOKE else 48):  # 384 Adam steps whiteout empty space
         rng_pre, sub = jax.random.split(rng_pre)
         render_params, pre_opt, pre_l = pretrain_scan(
             render_params, pre_opt, pre_batch, sub)
@@ -183,10 +193,10 @@ def bench_jax(batch: int = 2048, steps: int = 32):
 
     render_fast = jax.jit(make_fast_renderer(render_pipeline, cap_fraction=0.25))
 
-    img_batch = g._example_batch(128 * 128)
+    img_batch = g._example_batch(32 * 32 if SMOKE else 128 * 128)
     img_batch.pop("image_indices", None)
 
-    def best_ms(fn, reps=5):
+    def best_ms(fn, reps=1 if SMOKE else 5):
         np.asarray(fn(render_params, img_batch))  # compile + warm
         times = []
         for _ in range(reps):

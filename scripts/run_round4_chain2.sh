@@ -98,6 +98,18 @@ stage_fusedv2_e2e () {
   done
 }
 
+# real on-chip bench with the round-4 occupancy-precondition fix (VERDICT
+# weak #4): must show occupancy <= fg-culled with no precondition warning.
+stage_bench () {
+  local OUT=artifacts/round4/bench_main.json
+  [ -s "$OUT" ] && return 0
+  timeout 5400 python bench.py > "$OUT" 2> artifacts/round4/bench_main.log \
+      || { rm -f "$OUT"; return 1; }
+  git add artifacts/round4/bench_main.json artifacts/round4/bench_main.log
+  git commit -q -m "artifacts: round-4 on-chip bench (occupancy measured inside its precondition)" || true
+  log "committed artifacts for bench"
+}
+
 stage_roofline () {  # $1 = phase tag
   local OUT=artifacts/round4/roofline_fusedmlp_$1.jsonl
   [ -s "$OUT" ] && return 0
@@ -146,6 +158,7 @@ stage_sweep () {
 for ATTEMPT in $(seq 1 ${MAX_ATTEMPTS:-12}); do
   log "=== attempt $ATTEMPT ==="
   if bash scripts/wait_for_tpu.sh --max-wait 7200 \
+     && stage_bench \
      && stage_roofline a \
      && stage_vertex_sphere \
      && stage_append_vertices \
