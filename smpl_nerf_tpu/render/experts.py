@@ -1,0 +1,147 @@
+"""KiloNeRF-style expert distillation: one big trunk -> a voxel grid of tiny
+MLPs (this is a capability beyond the reference, which only ever has the
+single W=256 net — /root/reference/models/render_ray_net.py).
+
+Why: inference cost of a NeRF render is (rays x samples) trunk evaluations.
+A distilled grid of tiny per-cell experts cuts the per-sample FLOPs by
+10-100x at equal quality in the KiloNeRF regime, and the stacked-expert
+layout (parallel/ep.py) keeps the evaluation MXU-dense (batched matmuls, one
+gather per sample for the weights) and shards over a mesh with all_to_all
+routing for pod-scale scenes.
+
+Pieces:
+  * `distill_experts` — fit stacked experts to ANY teacher field
+    `teacher_fn(pos [N,3], dirs [N,3]) -> raw [N,4]` by sampling random
+    (position, direction) pairs in the scene AABB (KiloNeRF's distillation
+    step, arXiv:2103.13744, done here as one batched Adam loop over ALL
+    experts at once instead of per-cell loops).
+  * `expert_raw_fn` — the distilled drop-in for the trunk: positions are
+    routed to their voxel's expert (dense gather form on one chip;
+    parallel/ep.expert_parallel_apply is the sharded form of the same math).
+  * `render_rays_with_experts` — volume-render rays straight from the
+    distilled field (core.integrate.raw2outputs downstream, identical to the
+    main pipeline's integration).
+
+Tested by distilling a randomly-initialized RenderRayNet teacher and checking
+held-out raw error + rendered-pixel agreement (tests/test_experts.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from smpl_nerf_tpu.core.encoding import PositionalEncoder
+from smpl_nerf_tpu.core.integrate import RenderOutputs, raw2outputs
+from smpl_nerf_tpu.parallel import ep
+
+
+class ExpertField(NamedTuple):
+    """A distilled voxel-expert radiance field (all leaves jit-friendly)."""
+    experts: ep.ExpertMLP
+    aabb_min: jnp.ndarray   # [3]
+    aabb_max: jnp.ndarray   # [3]
+    grid: int               # experts = grid^3
+    l_pos: int              # positional-encoding frequencies (positions)
+    l_dir: int              # positional-encoding frequencies (directions)
+
+
+def _encode(field: ExpertField, pos, dirs):
+    pe_p = PositionalEncoder(field.l_pos, True)
+    pe_d = PositionalEncoder(field.l_dir, True)
+    # KiloNeRF-style CELL-LOCAL coordinates: each expert sees its own cell
+    # mapped to [0,1)^3, so the PE frequencies resolve intra-cell detail
+    # instead of being spent on locating the cell (which the routing does)
+    u = (pos - field.aabb_min) / (field.aabb_max - field.aabb_min)
+    local = u * field.grid - jnp.floor(
+        jnp.clip(u * field.grid, 0, field.grid - 1e-4))
+    return jnp.concatenate([pe_p.encode(local), pe_d.encode(dirs)], -1)
+
+
+def encoded_dim(l_pos: int, l_dir: int) -> int:
+    return (3 + 6 * l_pos) + (3 + 6 * l_dir)
+
+
+def expert_raw_fn(field: ExpertField, pos: jnp.ndarray,
+                  dirs: jnp.ndarray) -> jnp.ndarray:
+    """raw [N,4] from the distilled field — the trunk drop-in."""
+    ids = ep.voxel_expert_ids(pos, field.aabb_min, field.aabb_max, field.grid)
+    return ep.expert_apply(field.experts, _encode(field, pos, dirs), ids)
+
+
+def distill_experts(teacher_fn: Callable, aabb_min, aabb_max, grid: int,
+                    key, *, hidden: int = 32, l_pos: int = 4, l_dir: int = 2,
+                    n_steps: int = 1000, batch: int = 4096,
+                    lr: float = 1e-3) -> tuple:
+    """Fit a grid^3 stacked-expert field to the teacher by sampled regression.
+    Returns (ExpertField, final mse loss).
+
+    Every step draws `batch` uniform positions in the AABB + random unit
+    directions, queries the teacher, and Adam-steps ALL experts jointly on
+    the per-channel-normalized MSE of the raw [rgb, sigma] outputs (each
+    sample only touches its own cell's expert via the gather in
+    ep.expert_apply). Channel normalization matters: sigma's raw variance is
+    often 3-4x smaller than the rgb channels', but render quality is MOST
+    sensitive to sigma (it enters the transmittance product of every later
+    sample along the ray) — an unweighted MSE underfits exactly the channel
+    that matters most.
+    """
+    aabb_min = jnp.asarray(aabb_min, jnp.float32)
+    aabb_max = jnp.asarray(aabb_max, jnp.float32)
+    k_init, k_data = jax.random.split(key)
+    experts = ep.init_experts(k_init, grid ** 3, encoded_dim(l_pos, l_dir),
+                              hidden, 4)
+    field = ExpertField(experts, aabb_min, aabb_max, grid, l_pos, l_dir)
+    tx = optax.adam(lr)
+    opt_state = tx.init(experts)
+
+    def sample(k):
+        kp, kd = jax.random.split(k)
+        pos = aabb_min + (aabb_max - aabb_min) * jax.random.uniform(
+            kp, (batch, 3))
+        d = jax.random.normal(kd, (batch, 3))
+        dirs = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
+        return pos, dirs
+
+    # per-channel scales from one probe batch (fixed through training so the
+    # objective is stationary)
+    probe = jax.lax.stop_gradient(teacher_fn(*sample(k_data)))
+    ch_scale = jnp.maximum(jnp.std(probe, axis=0), 1e-3)
+
+    @jax.jit
+    def step(experts, opt_state, k):
+        pos, dirs = sample(k)
+        target = jax.lax.stop_gradient(teacher_fn(pos, dirs))
+        ids = ep.voxel_expert_ids(pos, aabb_min, aabb_max, grid)
+        x = _encode(field, pos, dirs)
+
+        def loss_fn(ex):
+            d2 = (ep.expert_apply(ex, x, ids) - target) / ch_scale
+            return jnp.mean(d2 ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(experts)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(experts, updates), opt_state, loss
+
+    loss = jnp.inf
+    for i in range(n_steps):
+        k_data, sub = jax.random.split(k_data)
+        experts, opt_state, loss = step(experts, opt_state, sub)
+    return field._replace(experts=experts), float(loss)
+
+
+def render_rays_with_experts(field: ExpertField, origins: jnp.ndarray,
+                             dirs: jnp.ndarray, z_vals: jnp.ndarray,
+                             white_background: bool = False) -> RenderOutputs:
+    """Volume-render rays straight from the distilled field.
+
+    origins/dirs [R,3], z_vals [R,S]; integration is the exact main-path
+    raw2outputs, so distilled-vs-teacher image deltas isolate the field."""
+    pos = origins[:, None, :] + z_vals[..., None] * dirs[:, None, :]
+    R, S = z_vals.shape
+    d_flat = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+    raw = expert_raw_fn(field, pos.reshape(-1, 3), d_flat).reshape(R, S, 4)
+    return raw2outputs(raw, z_vals, dirs, white_background=white_background)

@@ -1,0 +1,100 @@
+"""KiloNeRF-style expert distillation (render/experts.py): distilling a
+randomly-initialized RenderRayNet teacher into a 2^3 grid of tiny experts must
+reproduce its raw field on held-out samples and its rendered pixels, and the
+distilled experts must evaluate identically through the SHARDED ep routing.
+PositionalEncoder is used by the teacher construction only."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from smpl_nerf_tpu.core.encoding import PositionalEncoder
+from smpl_nerf_tpu.core.integrate import raw2outputs
+from smpl_nerf_tpu.models.render_ray_net import RenderRayNet
+from smpl_nerf_tpu.parallel import ep
+from smpl_nerf_tpu.parallel import mesh as mesh_mod
+from smpl_nerf_tpu.render import experts as ex
+
+AABB = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+
+
+def _teacher(seed=0, l_pos=4, l_dir=2):
+    """A small random RenderRayNet as the (smooth) field to distill."""
+    pe_p = PositionalEncoder(l_pos, True)
+    pe_d = PositionalEncoder(l_dir, True)
+    net = RenderRayNet(n_layers=3, width=32, positions_dim=3 + 6 * l_pos,
+                       directions_dim=3 + 6 * l_dir, skips=())
+    x0 = jnp.zeros((2, (3 + 6 * l_pos) + (3 + 6 * l_dir)))
+    params = net.init(jax.random.PRNGKey(seed), x0)
+
+    def teacher_fn(pos, dirs):
+        return net.apply(params, jnp.concatenate(
+            [pe_p.encode(pos), pe_d.encode(dirs)], -1))
+
+    return teacher_fn
+
+
+_CACHE = {}
+
+
+def _distilled(teacher_fn, tag="default"):
+    if tag not in _CACHE:
+        _CACHE[tag] = ex.distill_experts(
+            teacher_fn, AABB[0], AABB[1], grid=2, key=jax.random.PRNGKey(1),
+            hidden=64, n_steps=2500, batch=2048, lr=3e-3)
+    return _CACHE[tag]
+
+
+def test_distilled_field_matches_teacher_raw():
+    teacher_fn = _teacher()
+    field, loss = _distilled(teacher_fn)
+    assert loss < 0.06, f"distillation did not converge (normalized): {loss}"
+    rng = np.random.RandomState(7)
+    pos = jnp.asarray(rng.uniform(-1, 1, (512, 3)).astype(np.float32))
+    d = rng.randn(512, 3).astype(np.float32)
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    got = np.asarray(ex.expert_raw_fn(field, pos, dirs))
+    want = np.asarray(teacher_fn(pos, dirs))
+    # held-out raw error well under the teacher's own output spread
+    err = np.sqrt(np.mean((got - want) ** 2))
+    spread = np.std(want)
+    assert err < 0.25 * spread, (err, spread)
+
+
+def test_distilled_render_matches_teacher_render():
+    teacher_fn = _teacher()
+    field, _ = _distilled(teacher_fn)
+    rng = np.random.RandomState(3)
+    R, S = 16, 24
+    origins = jnp.asarray(np.tile([[0.0, 0.0, -0.9]], (R, 1)).astype(np.float32))
+    d = rng.uniform(-0.3, 0.3, (R, 3)).astype(np.float32) + [0, 0, 1]
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = jnp.broadcast_to(jnp.linspace(0.05, 1.8, S), (R, S))
+
+    got = ex.render_rays_with_experts(field, origins, dirs, z)
+    pos = origins[:, None, :] + z[..., None] * dirs[:, None, :]
+    d_flat = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+    raw_t = teacher_fn(pos.reshape(-1, 3), d_flat).reshape(R, S, 4)
+    want = raw2outputs(raw_t, z, dirs)
+    mse = float(jnp.mean((got.rgb - want.rgb) ** 2))
+    psnr = -10 * np.log10(mse + 1e-12)
+    assert psnr > 30, f"distilled render PSNR {psnr:.1f} < 30 dB"
+
+
+def test_distilled_experts_shard_over_mesh(devices):
+    """The distilled stacked experts run unchanged through the EP-sharded
+    routing (8 experts over 4 devices) and match the dense form."""
+    teacher_fn = _teacher()
+    field, _ = _distilled(teacher_fn)
+    mesh = mesh_mod.make_mesh("2,4")
+    rng = np.random.RandomState(5)
+    pos = jnp.asarray(rng.uniform(-1, 1, (64, 3)).astype(np.float32))
+    d = rng.randn(64, 3).astype(np.float32)
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    ids = ep.voxel_expert_ids(pos, field.aabb_min, field.aabb_max, field.grid)
+    x = ex._encode(field, pos, dirs)
+    res = ep.expert_parallel_apply(mesh, field.experts, x, ids, capacity=64)
+    assert not bool(res.overflow.any())
+    np.testing.assert_allclose(np.asarray(res.out),
+                               np.asarray(ep.expert_apply(field.experts, x, ids)),
+                               atol=1e-5)
