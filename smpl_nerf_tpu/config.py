@@ -258,6 +258,8 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--use_pallas", type=int, default=1,
                         help="use the fused Pallas inverse-CDF sampler on TPU")
     parser.add_argument("--use_fused_mlp", type=int, default=0,
+                        # -1 = auto: fused v2 on TPU when the kernel supports
+                        # the net/encoders (measured faster at W<=256), else 0
                         help="run RenderRayNet as one fused Pallas kernel (TPU)")
     parser.add_argument("--foreground_sample_ratio", type=float, default=0.0,
                         help=">0: fraction of each ray batch drawn from foreground "

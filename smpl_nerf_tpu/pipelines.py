@@ -148,6 +148,24 @@ def warp_field_inputs(cfg: "RenderConfig", encoders, samples, pose2,
                             pose_exp.reshape(R * S, -1)], -1)
 
 
+def resolve_fused_mode_auto(spec, pos_enc, dir_enc, backend: str) -> int:
+    """--use_fused_mlp=-1 (auto): pick the measured-best MLP impl.
+
+    On TPU, the fused v2 kernel (in-kernel encoding + VMEM dW backward) beat
+    plain XLA at the production width in both round-3 and round-4 on-chip
+    measurements (RESULTS.md roofline: W=256 fwd+bwd 31.8 ms vs 36.4 ms,
+    +12.7%) — but is VMEM-infeasible at W>=384, where plain XLA is fastest
+    anyway. So: v2 when the kernel supports this net/encoder combination,
+    else plain XLA. On CPU (tests) always plain XLA."""
+    from smpl_nerf_tpu.ops import fused_mlp_v2 as fused_v2
+
+    if backend != "tpu":
+        return 0
+    if fused_v2.vmem_feasible(spec) and fused_v2.supports(spec, pos_enc, dir_enc):
+        return 2
+    return 0
+
+
 def _make_net_runner(cfg, models, encoders):
     """Returns run(key, params, samples, dirs_unit, prefix) -> raw [R,S,4].
 
@@ -171,11 +189,22 @@ def _make_net_runner(cfg, models, encoders):
     pos_enc = encoders["position"]
     dir_enc = encoders["direction"]
     specs, specs_v2 = {}, {}
+    # (resolver defined at module level: resolve_fused_mode_auto)
     for key, model in models.items():
-        if not isinstance(model, RenderRayNet) or not cfg.use_fused_mlp:
+        if not isinstance(model, RenderRayNet):
+            continue
+        mode = int(cfg.use_fused_mlp)
+        if mode < 0:  # auto (-1): measured-best per backend, see resolver
+            spec = fused_mod.spec_from_model(model)
+            mode = resolve_fused_mode_auto(spec, pos_enc, dir_enc,
+                                           jax.default_backend())
+            if mode:
+                print(f"use_fused_mlp=auto: fused v{mode} selected for {key} "
+                      f"(W={spec.width})")
+        if not mode:
             continue
         spec = fused_mod.spec_from_model(model)
-        if cfg.use_fused_mlp >= 2:
+        if mode >= 2:
             if not fused_v2.vmem_feasible(spec):
                 raise ValueError(
                     f"--use_fused_mlp=2: width={spec.width} exceeds the v2 "

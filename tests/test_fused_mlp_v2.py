@@ -180,3 +180,53 @@ def test_vmem_feasibility_bound():
     models, params, enc = build_models_and_params(args, jax.random.PRNGKey(0), {})
     with pytest.raises(ValueError, match="scoped-VMEM"):
         build_pipeline(RenderConfig.from_args(args), models, enc, {})
+
+
+def test_resolve_fused_mode_auto(rng):
+    """--use_fused_mlp=-1 policy: v2 only on TPU when the kernel supports the
+    net/encoder combo; plain XLA everywhere else (incl. big widths + identity
+    encoders)."""
+    from smpl_nerf_tpu.pipelines import resolve_fused_mode_auto
+
+    spec, _, _ = _spec_and_params(rng)
+    pe = PositionalEncoder(4, False)
+    de = PositionalEncoder(2, False)
+    assert resolve_fused_mode_auto(spec, pe, de, "cpu") == 0
+    assert resolve_fused_mode_auto(spec, pe, de, "tpu") == 2
+    # identity encoders: v2's in-kernel sin(x@M+P) form can't express them
+    pe_id = PositionalEncoder(4, True)
+    assert resolve_fused_mode_auto(spec, pe_id, de, "tpu") == 0
+    # W=1024: VMEM-infeasible backward -> plain XLA (also measured fastest)
+    big = fused_mlp.MlpSpec(n_layers=8, width=1024, positions_dim=24,
+                            directions_dim=12, additional_input_dim=0,
+                            skips=(4,), use_directional_input=True,
+                            dtype="float32")
+    assert resolve_fused_mode_auto(big, pe, de, "tpu") == 0
+
+
+def test_auto_mode_builds_plain_pipeline_on_cpu(rng):
+    """use_fused_mlp=-1 through the full pipeline builder on CPU == mode 0."""
+    from smpl_nerf_tpu import config as config_mod
+    from smpl_nerf_tpu.pipelines import RenderConfig, build_pipeline
+    from smpl_nerf_tpu.training.factory import build_models_and_params
+
+    argv = ["--config=/dev/null", "--model_type=nerf", "--netdepth=2",
+            "--netwidth=16", "--number_coarse_samples=4", "--run_fine=0",
+            "--number_frequencies_postitional=4",
+            "--number_frequencies_directional=2", "--sigma_noise_std=0",
+            "--use_pallas=0", "--batchsize=8"]
+    outs = []
+    for mode in ("0", "-1"):
+        args = config_mod.config_parser().parse_args(
+            argv + [f"--use_fused_mlp={mode}"])
+        models, params, encoders = build_models_and_params(
+            args, jax.random.PRNGKey(0))
+        pipe = build_pipeline(RenderConfig.from_args(args), models, encoders, {})
+        batch = {
+            "ray_translation": jnp.zeros((8, 3)) + jnp.asarray([0.0, 0.0, 2.0]),
+            "ray_direction": jnp.asarray(
+                np.random.RandomState(0).uniform(-0.2, 0.2, (8, 3)).astype(np.float32)),
+            "rgb": jnp.zeros((8, 3)),
+        }
+        outs.append(np.asarray(pipe(params, batch, None, False)["rgb_coarse"]))
+    np.testing.assert_allclose(outs[0], outs[1], atol=0)
