@@ -84,6 +84,51 @@ class EPResult(NamedTuple):
     overflow: jnp.ndarray  # [N] bool; True = token did not fit its bucket
 
 
+def expert_apply_bucketed(experts: ExpertMLP, x: jnp.ndarray,
+                          expert_ids: jnp.ndarray, capacity: int) -> EPResult:
+    """Single-device MXU-dense expert evaluation via sort + static buckets.
+
+    `expert_apply` gathers each token's WEIGHT tensors — N*(D*H + H*O) floats
+    of HBM traffic, which dwarfs the tiny experts' FLOPs and is exactly the
+    slow-gather regime this chip punishes. This form instead sorts tokens by
+    expert, scatters them into [E, capacity, D] buckets, and evaluates the
+    whole mixture as one batched matmul per layer — weights are read ONCE.
+    It is the on-chip serving path for distilled fields
+    (render/experts.py); `expert_parallel_apply` is the multi-device
+    generalization of the same bucketing.
+
+    Tokens with expert_ids == E (one past the last expert) are SKIPPED:
+    output zeros, overflow False, and — unlike clamping — they consume no
+    bucket capacity. Callers use this for samples outside the field's AABB,
+    where the field is zero by construction.
+
+    Tokens past `capacity` in their bucket come back masked in `overflow`
+    (no silent drops); size capacity from a worst-case bucket count.
+    """
+    E = experts.w0.shape[0]
+    N, D = x.shape
+    C = int(capacity)
+    order = jnp.argsort(expert_ids, stable=True)
+    sorted_ids = expert_ids[order]
+    # rank of each token within its expert's run of the sorted order
+    starts = jnp.searchsorted(sorted_ids, jnp.arange(E))            # [E]
+    pos = jnp.arange(N) - starts[jnp.clip(sorted_ids, 0, E - 1)]
+    skip = sorted_ids >= E
+    keep = (pos < C) & ~skip
+    slot_e = jnp.where(keep, sorted_ids, E)        # E = dropped row
+    slot_c = jnp.clip(pos, 0, C - 1)
+    buckets = jnp.zeros((E + 1, C, D), x.dtype).at[slot_e, slot_c].set(
+        x[order])[:E]
+    out_b = jax.vmap(_mlp)(buckets, experts.w0, experts.b0,
+                           experts.w1, experts.b1)                  # [E, C, O]
+    out_sorted = (out_b[jnp.clip(slot_e, 0, E - 1), slot_c]
+                  * keep[:, None].astype(out_b.dtype))
+    O = out_b.shape[-1]
+    out = jnp.zeros((N, O), out_b.dtype).at[order].set(out_sorted)
+    overflow = jnp.zeros((N,), bool).at[order].set(~keep & ~skip)
+    return EPResult(out, overflow)
+
+
 def expert_parallel_apply(mesh: Mesh, experts: ExpertMLP, x: jnp.ndarray,
                           expert_ids: jnp.ndarray, capacity: int,
                           axis: str = "model") -> EPResult:

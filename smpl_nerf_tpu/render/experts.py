@@ -72,6 +72,42 @@ def expert_raw_fn(field: ExpertField, pos: jnp.ndarray,
     return ep.expert_apply(field.experts, _encode(field, pos, dirs), ids)
 
 
+def expert_raw_fn_bucketed(field: ExpertField, pos: jnp.ndarray,
+                           dirs: jnp.ndarray, capacity: int):
+    """raw [N,4] via the sorted-bucket MXU path (ep.expert_apply_bucketed) —
+    the on-chip serving form. Samples OUTSIDE the AABB are routed to the
+    skip id (zero raw -> zero density, exact for a field distilled over an
+    AABB that covers all mass) and consume no bucket capacity, so `capacity`
+    only needs to cover in-AABB samples. Returns (raw [N,4], overflow [N])."""
+    E = field.grid ** 3
+    inside = jnp.all((pos >= field.aabb_min) & (pos <= field.aabb_max), -1)
+    ids = jnp.where(
+        inside,
+        ep.voxel_expert_ids(pos, field.aabb_min, field.aabb_max, field.grid),
+        E)
+    res = ep.expert_apply_bucketed(field.experts, _encode(field, pos, dirs),
+                                   ids, capacity)
+    return res.out, res.overflow
+
+
+def render_rays_with_experts_bucketed(
+        field: ExpertField, origins: jnp.ndarray, dirs: jnp.ndarray,
+        z_vals: jnp.ndarray, capacity: int,
+        white_background: bool = False) -> tuple:
+    """Bucketed-serving twin of render_rays_with_experts.
+
+    Returns (RenderOutputs, n_overflow) — callers must check n_overflow == 0
+    (no silent caps) and re-run with a larger capacity otherwise."""
+    pos = origins[:, None, :] + z_vals[..., None] * dirs[:, None, :]
+    R, S = z_vals.shape
+    d_flat = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+    raw, overflow = expert_raw_fn_bucketed(field, pos.reshape(-1, 3), d_flat,
+                                           capacity)
+    outs = raw2outputs(raw.reshape(R, S, 4), z_vals, dirs,
+                       white_background=white_background)
+    return outs, overflow.sum()
+
+
 def distill_experts(teacher_fn: Callable, aabb_min, aabb_max, grid: int,
                     key, *, hidden: int = 32, l_pos: int = 4, l_dir: int = 2,
                     n_steps: int = 1000, batch: int = 4096,

@@ -99,3 +99,42 @@ def test_shape_guards(devices):
                        experts.b1[:6])
     with pytest.raises(ValueError, match="divide"):
         ep.expert_parallel_apply(mesh, bad, x, ids, capacity=8)
+
+
+def test_bucketed_matches_dense():
+    experts, x, ids = _setup(n_tokens=128)
+    want = np.asarray(ep.expert_apply(experts, x, ids))
+    # generous capacity: exact match, nothing overflows
+    res = ep.expert_apply_bucketed(experts, x, ids, capacity=128)
+    np.testing.assert_allclose(np.asarray(res.out), want, atol=1e-5)
+    assert not bool(res.overflow.any())
+    # works under jit with static capacity
+    jitted = jax.jit(ep.expert_apply_bucketed, static_argnums=3)
+    res2 = jitted(experts, x, ids, 128)
+    np.testing.assert_allclose(np.asarray(res2.out), want, atol=1e-5)
+
+
+def test_bucketed_skip_id_consumes_no_capacity():
+    experts, x, _ = _setup(n_tokens=64)
+    # all tokens -> expert 3 except half marked skip (id == E)
+    ids = jnp.asarray([3 if i % 2 == 0 else E for i in range(64)], jnp.int32)
+    res = ep.expert_apply_bucketed(experts, x, ids, capacity=32)
+    out = np.asarray(res.out)
+    assert not bool(res.overflow.any())   # 32 real tokens fit capacity 32
+    dense = np.asarray(ep.expert_apply(
+        experts, x[::2], jnp.full((32,), 3, jnp.int32)))
+    np.testing.assert_allclose(out[::2], dense, atol=1e-5)
+    np.testing.assert_allclose(out[1::2], 0.0)   # skipped -> zeros
+
+
+def test_bucketed_overflow_flagged_not_silent():
+    experts, x, _ = _setup(n_tokens=64)
+    ids = jnp.zeros((64,), jnp.int32)            # all to expert 0
+    res = ep.expert_apply_bucketed(experts, x, ids, capacity=16)
+    assert int(res.overflow.sum()) == 48
+    # the kept tokens are exact, the overflowed ones zero
+    kept = ~np.asarray(res.overflow)
+    dense = np.asarray(ep.expert_apply(experts, x, ids))
+    np.testing.assert_allclose(np.asarray(res.out)[kept], dense[kept],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.out)[~kept], 0.0)

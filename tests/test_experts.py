@@ -98,3 +98,44 @@ def test_distilled_experts_shard_over_mesh(devices):
     np.testing.assert_allclose(np.asarray(res.out),
                                np.asarray(ep.expert_apply(field.experts, x, ids)),
                                atol=1e-5)
+
+
+def test_bucketed_render_matches_dense_and_skips_outside():
+    """The sorted-bucket serving path reproduces the dense render exactly,
+    and rays leaving the AABB integrate identically (outside samples are
+    zero-density by construction in BOTH paths: dense clamps to a border
+    expert trained on near-boundary space, so compare only via z ranges
+    inside; the bucketed path skips them exactly)."""
+    teacher_fn = _teacher()
+    field, _ = _distilled(teacher_fn)
+    rng = np.random.RandomState(11)
+    R, S = 16, 24
+    origins = jnp.asarray(np.tile([[0.0, 0.0, -0.9]], (R, 1)).astype(np.float32))
+    d = rng.uniform(-0.3, 0.3, (R, 3)).astype(np.float32) + [0, 0, 1]
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = jnp.broadcast_to(jnp.linspace(0.05, 1.7, S), (R, S))
+    # all samples stay inside the AABB here -> exact dense equivalence
+    pos = origins[:, None, :] + z[..., None] * dirs[:, None, :]
+    assert bool(jnp.all((pos >= field.aabb_min) & (pos <= field.aabb_max)))
+    want = ex.render_rays_with_experts(field, origins, dirs, z)
+    got, n_over = ex.render_rays_with_experts_bucketed(
+        field, origins, dirs, z, capacity=R * S)
+    assert int(n_over) == 0
+    np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(want.rgb),
+                               atol=1e-5)
+
+    # rays extended PAST the AABB: the outside samples must contribute zero
+    # density (same image as truncating the ray at the boundary)
+    z_long = jnp.broadcast_to(jnp.linspace(0.05, 4.0, S), (R, S))
+    got_long, n_over2 = ex.render_rays_with_experts_bucketed(
+        field, origins, dirs, z_long, capacity=R * S)
+    assert int(n_over2) == 0
+    pos_l = origins[:, None, :] + z_long[..., None] * dirs[:, None, :]
+    inside = np.asarray(jnp.all((pos_l >= field.aabb_min)
+                                & (pos_l <= field.aabb_max), -1))
+    raw_ref, _ = ex.expert_raw_fn_bucketed(
+        field, pos_l.reshape(-1, 3),
+        jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3),
+        capacity=R * S)
+    raw_ref = np.asarray(raw_ref).reshape(R, S, 4)
+    assert np.all(raw_ref[~inside] == 0.0)
