@@ -169,6 +169,63 @@ def distill_experts(teacher_fn: Callable, aabb_min, aabb_max, grid: int,
     return field._replace(experts=experts), float(loss)
 
 
+def finetune_experts(field: ExpertField, origins, dirs, rgb, key, *,
+                     near: float, far: float, n_samples: int, capacity: int,
+                     n_steps: int = 1000, batch: int = 4096, lr: float = 5e-4,
+                     white_background: bool = False):
+    """KiloNeRF's second stage: photometric fine-tuning of the distilled
+    experts on real training rays (arXiv:2103.13744 §3.3 — distillation gives
+    the initialization, fine-tuning recovers the teacher-level quality the
+    sampled-regression objective leaves behind).
+
+    origins/dirs/rgb are the full train-split ray arrays [N,3]; every step
+    draws `batch` rays, stratified-samples `n_samples` uniform z bins, renders
+    through the bucketed serving path (differentiable: sort order is fixed
+    given the ids, gradients flow through the activation scatter/gather), and
+    Adam-steps the experts on the pixel MSE. Overflowed samples render as
+    empty space — their count is accumulated and returned (no silent caps;
+    size `capacity` so it stays 0).
+
+    Returns (field, final_loss, total_overflow).
+    """
+    origins = jnp.asarray(origins)
+    dirs = jnp.asarray(dirs)
+    rgb = jnp.asarray(rgb)
+    n_rays = origins.shape[0]
+    tx = optax.adam(lr)
+    opt_state = tx.init(field.experts)
+    bins = jnp.linspace(near, far, n_samples + 1)
+    lo, step_z = bins[:-1], (far - near) / n_samples
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(experts, opt_state, total_over, k):
+        ki, kz = jax.random.split(k)
+        idx = jax.random.randint(ki, (batch,), 0, n_rays)
+        o, d, c = origins[idx], dirs[idx], rgb[idx]
+        z = lo[None] + step_z * jax.random.uniform(kz, (batch, n_samples))
+
+        def loss_fn(ex):
+            outs, n_over = render_rays_with_experts_bucketed(
+                field._replace(experts=ex), o, d, z, capacity,
+                white_background=white_background)
+            return jnp.mean((outs.rgb - c) ** 2), n_over
+
+        (loss, n_over), grads = jax.value_and_grad(loss_fn, has_aux=True)(experts)
+        updates, opt_state = tx.update(grads, opt_state)
+        return (optax.apply_updates(experts, updates), opt_state,
+                total_over + n_over, loss)
+
+    # overflow accumulates ON DEVICE — a per-step int() round-trip would
+    # serialize every dispatch through the tunnel
+    experts, loss = field.experts, jnp.inf
+    total_over = jnp.zeros((), jnp.int32)
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        experts, opt_state, total_over, loss = train_step(
+            experts, opt_state, total_over, sub)
+    return field._replace(experts=experts), float(loss), int(total_over)
+
+
 def render_rays_with_experts(field: ExpertField, origins: jnp.ndarray,
                              dirs: jnp.ndarray, z_vals: jnp.ndarray,
                              white_background: bool = False) -> RenderOutputs:

@@ -142,6 +142,15 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=4096, help="rays per chunk")
     p.add_argument("--images", type=int, default=0, help="cap val images (0=all)")
     p.add_argument("--time_reps", type=int, default=5)
+    p.add_argument("--finetune_steps", type=int, default=0,
+                   help="KiloNeRF stage 2: photometric fine-tuning steps on "
+                        "the train split (0 = distillation only)")
+    p.add_argument("--finetune_batch", type=int, default=4096)
+    p.add_argument("--finetune_samples", type=int, default=96)
+    p.add_argument("--finetune_lr", type=float, default=5e-4)
+    p.add_argument("--train_dir", default=None,
+                   help="train split for fine-tuning (default: "
+                        "<dataset_dir>/../train)")
     p.add_argument("--sigma_thresh", type=float, default=5.0)
     p.add_argument("--probe_res", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
@@ -197,56 +206,116 @@ def main(argv=None):
                            white_background=white).rgb
 
     @jax.jit
-    def render_expert(o, d):
+    def render_expert(o, d, experts):
         z = jnp.broadcast_to(jnp.asarray(z_row), (o.shape[0], S))
         outs, n_over = ex.render_rays_with_experts_bucketed(
-            field, o, d, z, capacity, white_background=white)
+            field._replace(experts=experts), o, d, z, capacity,
+            white_background=white)
         return outs.rgb, n_over
 
-    def render_split(fn, expert):
+    def render_split(fn, experts=None):
         imgs, total_over = [], 0
         for i in range(data.num_images):
             o, d = _image_rays(data, i)
             rows = []
             for lo in range(0, len(o), args.chunk):
-                out = fn(jnp.asarray(o[lo:lo + args.chunk]),
-                         jnp.asarray(d[lo:lo + args.chunk]))
-                if expert:
-                    out, n_over = out
+                ch = (jnp.asarray(o[lo:lo + args.chunk]),
+                      jnp.asarray(d[lo:lo + args.chunk]))
+                if experts is not None:
+                    out, n_over = fn(*ch, experts)
                     total_over += int(n_over)
+                else:
+                    out = fn(*ch)
                 rows.append(np.asarray(out))
             imgs.append(np.concatenate(rows).reshape(data.h, data.w, 3))
         return np.stack(imgs), total_over
 
+    def score_experts(tag, experts, truths, teach_imgs):
+        print(f"— {tag} render —")
+        imgs, n_over = render_split(render_expert, experts)
+        if n_over:
+            raise RuntimeError(f"{n_over} samples overflowed capacity "
+                               f"{capacity} — raise capacity")
+        scores = print_scores(imgs, truths)
+        print(f"— {tag} gap vs teacher (same integration) —")
+        gap = print_scores(imgs, teach_imgs)
+        return scores, gap
+
     truths = data.rgb.reshape(data.num_images, data.h, data.w, 3)
     print("— teacher render (identical uniform-z integration) —")
-    teach_imgs, _ = render_split(render_teacher, False)
+    teach_imgs, _ = render_split(render_teacher)
     teacher_scores = print_scores(teach_imgs, truths)
-    print("— distilled render —")
-    dist_imgs, n_over = render_split(render_expert, True)
-    if n_over:
-        raise RuntimeError(f"{n_over} samples overflowed capacity {capacity} "
-                           "— raise --chunk granularity or capacity")
-    dist_scores = print_scores(dist_imgs, truths)
-    print("— distillation gap (distilled vs teacher, same integration) —")
-    gap_scores = print_scores(dist_imgs, teach_imgs)
+    dist_scores, gap_scores = score_experts(
+        "distilled", field.experts, truths, teach_imgs)
+
+    # KiloNeRF stage 2: photometric fine-tuning on the train split, then
+    # re-score — the distilled field is the init, fine-tuning recovers the
+    # quality the sampled-regression objective leaves behind
+    ft_meta = None
+    if args.finetune_steps > 0:
+        train_dir = args.train_dir or os.path.join(
+            os.path.dirname(args.dataset_dir.rstrip("/")), "train")
+        tdata = datasets.load_dataset(train_dir, "nerf", run_args)
+        # capacity for random fine-tune batches: probe a few in numpy
+        rng = np.random.RandomState(1)
+        zmid = np.linspace(cfg.near, cfg.far, args.finetune_samples,
+                           dtype=np.float32)
+        worst = 0
+        E = args.grid ** 3
+        for _ in range(16):
+            idx = rng.randint(0, tdata.num_rays, args.finetune_batch)
+            pos = (tdata.origins[idx, None, :] + zmid[None, :, None]
+                   * tdata.directions[idx, None, :]).reshape(-1, 3)
+            inside = np.all((pos >= aabb_min) & (pos <= aabb_max), -1)
+            if not inside.any():
+                continue
+            u = (pos[inside] - aabb_min) / (aabb_max - aabb_min)
+            c = np.clip((u * args.grid).astype(np.int64), 0, args.grid - 1)
+            ids = (c[:, 0] * args.grid + c[:, 1]) * args.grid + c[:, 2]
+            worst = max(worst, int(np.bincount(ids, minlength=E).max()))
+        ft_cap = int(np.ceil(worst * 1.5 / 64) * 64)
+        print(f"fine-tuning {args.finetune_steps} steps, batch "
+              f"{args.finetune_batch} x {args.finetune_samples} samples, "
+              f"capacity {ft_cap}")
+        t0 = time.time()
+        field, ft_loss, ft_over = ex.finetune_experts(
+            field, tdata.origins, tdata.directions, tdata.rgb,
+            jax.random.PRNGKey(args.seed + 1), near=cfg.near, far=cfg.far,
+            n_samples=args.finetune_samples, capacity=ft_cap,
+            n_steps=args.finetune_steps, batch=args.finetune_batch,
+            lr=args.finetune_lr, white_background=white)
+        ft_s = time.time() - t0
+        print(f"fine-tuned in {ft_s:.1f}s, final pixel mse {ft_loss:.6f}, "
+              f"overflowed samples {ft_over}")
+        if ft_over:
+            print(f"WARNING: {ft_over} fine-tune samples overflowed capacity "
+                  f"{ft_cap} and rendered as empty space")
+        np.savez(os.path.join(args.out_dir, "field_ft.npz"),
+                 **{k: np.asarray(v) for k, v in field.experts._asdict().items()},
+                 aabb_min=np.asarray(aabb_min), aabb_max=np.asarray(aabb_max),
+                 grid=args.grid, l_pos=args.l_pos, l_dir=args.l_dir)
+        ft_scores, ft_gap = score_experts(
+            "fine-tuned", field.experts, truths, teach_imgs)
+        ft_meta = {"steps": args.finetune_steps, "seconds": round(ft_s, 1),
+                   "final_pixel_mse": round(float(ft_loss), 6),
+                   "overflow": ft_over, "scores": ft_scores, "gap": ft_gap}
 
     # latency, one full image through the same chunking, best-of-N; the sync
     # is the np.asarray round-trip inside render_split-style loops
-    def time_image(fn, expert):
+    def time_image(fn, *extra):
         o, d = _image_rays(data, 0)
         best = np.inf
         for _ in range(args.time_reps):
             t0 = time.time()
             for lo in range(0, len(o), args.chunk):
                 out = fn(jnp.asarray(o[lo:lo + args.chunk]),
-                         jnp.asarray(d[lo:lo + args.chunk]))
-                np.asarray(out[0] if expert else out)
+                         jnp.asarray(d[lo:lo + args.chunk]), *extra)
+                np.asarray(out[0] if extra else out)
             best = min(best, time.time() - t0)
         return best
 
-    t_teacher = time_image(render_teacher, False)
-    t_expert = time_image(render_expert, True)
+    t_teacher = time_image(render_teacher)
+    t_expert = time_image(render_expert, field.experts)
     print(f"render latency ({data.h}x{data.w}, {S} samples/ray, best of "
           f"{args.time_reps}): teacher {t_teacher * 1e3:.1f} ms, distilled "
           f"{t_expert * 1e3:.1f} ms ({t_teacher / t_expert:.1f}x)")
@@ -258,7 +327,7 @@ def main(argv=None):
         "distill_seconds": round(distill_s, 1),
         "distill_final_mse": round(float(loss), 5),
         "teacher": teacher_scores, "distilled": dist_scores,
-        "distill_gap": gap_scores,
+        "distill_gap": gap_scores, "finetune": ft_meta,
         "latency_ms": {"teacher": round(t_teacher * 1e3, 2),
                        "distilled": round(t_expert * 1e3, 2),
                        "speedup": round(t_teacher / t_expert, 2)},
