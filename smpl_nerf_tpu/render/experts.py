@@ -216,8 +216,10 @@ def finetune_experts(field: ExpertField, origins, dirs, rgb, key, *,
                 total_over + n_over, loss)
 
     # overflow accumulates ON DEVICE — a per-step int() round-trip would
-    # serialize every dispatch through the tunnel
-    experts, loss = field.experts, jnp.inf
+    # serialize every dispatch through the tunnel. Copy the experts first:
+    # donation would otherwise delete the CALLER's field.experts buffers on
+    # the first step.
+    experts, loss = jax.tree.map(jnp.array, field.experts), jnp.inf
     total_over = jnp.zeros((), jnp.int32)
     for i in range(n_steps):
         key, sub = jax.random.split(key)

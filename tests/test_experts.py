@@ -139,3 +139,38 @@ def test_bucketed_render_matches_dense_and_skips_outside():
         capacity=R * S)
     raw_ref = np.asarray(raw_ref).reshape(R, S, 4)
     assert np.all(raw_ref[~inside] == 0.0)
+
+
+def test_finetune_reduces_pixel_error():
+    """KiloNeRF stage 2: photometric fine-tuning on rays whose 'ground truth'
+    comes from the teacher must reduce the distilled field's pixel MSE, with
+    zero capacity overflow."""
+    teacher_fn = _teacher()
+    field, _ = _distilled(teacher_fn)
+    rng = np.random.RandomState(21)
+    R, S = 256, 16
+    origins = jnp.asarray(np.tile([[0.0, 0.0, -0.9]], (R, 1)).astype(np.float32))
+    d = rng.uniform(-0.4, 0.4, (R, 3)).astype(np.float32) + [0, 0, 1]
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = jnp.broadcast_to(jnp.linspace(0.05, 1.7, S), (R, S))
+    pos = origins[:, None, :] + z[..., None] * dirs[:, None, :]
+    d_flat = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+    raw_t = teacher_fn(pos.reshape(-1, 3), d_flat).reshape(R, S, 4)
+    gt_rgb = raw2outputs(raw_t, z, dirs).rgb
+
+    def pixel_mse(f):
+        outs, n_over = ex.render_rays_with_experts_bucketed(
+            f, origins, dirs, z, capacity=R * S)
+        assert int(n_over) == 0
+        return float(jnp.mean((outs.rgb - gt_rgb) ** 2))
+
+    before = pixel_mse(field)
+    tuned, loss, n_over = ex.finetune_experts(
+        field, origins, dirs, gt_rgb, jax.random.PRNGKey(5),
+        near=0.05, far=1.7, n_samples=S, capacity=R * S, n_steps=200,
+        batch=256, lr=3e-4)
+    assert n_over == 0
+    after = pixel_mse(tuned)
+    assert after < before, (before, after)
+    # donation hygiene: the input field must remain usable after the call
+    assert pixel_mse(field) == before

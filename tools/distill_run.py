@@ -147,7 +147,7 @@ def main(argv=None):
                         "the train split (0 = distillation only)")
     p.add_argument("--finetune_batch", type=int, default=4096)
     p.add_argument("--finetune_samples", type=int, default=96)
-    p.add_argument("--finetune_lr", type=float, default=5e-4)
+    p.add_argument("--finetune_lr", type=float, default=3e-4)
     p.add_argument("--train_dir", default=None,
                    help="train split for fine-tuning (default: "
                         "<dataset_dir>/../train)")
