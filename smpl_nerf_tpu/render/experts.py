@@ -169,6 +169,115 @@ def distill_experts(teacher_fn: Callable, aabb_min, aabb_max, grid: int,
     return field._replace(experts=experts), float(loss)
 
 
+class CompactExpertField(NamedTuple):
+    """An ExpertField restricted to its OCCUPIED cells (KiloNeRF's empty-space
+    skipping, done at the expert level): only occupied cells keep an expert,
+    and the [E_occ, capacity] bucket tensors shrink with them. E_occ is baked
+    on the host, so every shape stays static under jit."""
+    experts: ep.ExpertMLP           # [E_occ, ...]
+    remap: jnp.ndarray              # [E + 1] int32: voxel id (or the E
+    #                                 out-of-AABB sentinel) -> compact id;
+    #                                 empty cells and the sentinel map to
+    #                                 E_occ (the skip id)
+    aabb_min: jnp.ndarray
+    aabb_max: jnp.ndarray
+    grid: int
+    l_pos: int
+    l_dir: int
+
+
+def cell_occupancy(field: ExpertField, samples_per_axis: int = 3,
+                   sigma_thresh: float = 1.0):
+    """[E] bool (host numpy): does any lattice probe inside each cell clear
+    `sigma_thresh` raw density? Probes the DISTILLED field itself, so the
+    mask is exactly consistent with what serving would render."""
+    import numpy as np
+    g, k = field.grid, samples_per_axis
+    lo = np.asarray(field.aabb_min, np.float32)
+    hi = np.asarray(field.aabb_max, np.float32)
+    cell = (hi - lo) / g
+    # cell corner coordinates [g^3, 3] in lexicographic (x*g+y)*g+z order
+    ax = np.arange(g, dtype=np.float32)
+    corners = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+    # k^3 probe offsets strictly inside the cell
+    off = (np.arange(k, dtype=np.float32) + 0.5) / k
+    lattice = np.stack(np.meshgrid(off, off, off, indexing="ij"), -1).reshape(-1, 3)
+    pts = (corners[:, None, :] + lattice[None, :, :]) * cell + lo   # [E, k^3, 3]
+    pts = jnp.asarray(pts.reshape(-1, 3))
+    dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), pts.shape)
+    sigma = expert_raw_fn(field, pts, dirs)[:, 3].reshape(g ** 3, k ** 3)
+    return np.asarray(jnp.max(sigma, axis=1)) > sigma_thresh
+
+
+def dilate_occupancy(occupied, grid: int):
+    """One-cell 6/26-neighborhood dilation (numpy, host) — guards thin
+    structures the probe lattice might straddle, same safety net as
+    ops/occupancy's voxel dilation."""
+    import numpy as np
+    occ = np.asarray(occupied, bool).reshape(grid, grid, grid)
+    out = occ.copy()
+    for axis in range(3):
+        fwd = [slice(None)] * 3
+        bwd = [slice(None)] * 3
+        fwd[axis] = slice(1, None)
+        bwd[axis] = slice(None, -1)
+        out[tuple(fwd)] |= occ[tuple(bwd)]   # +1 shift, no wrap
+        out[tuple(bwd)] |= occ[tuple(fwd)]   # -1 shift, no wrap
+    return out.reshape(-1)
+
+
+def compact_field(field: ExpertField, occupied) -> CompactExpertField:
+    """Drop empty cells' experts; build the id remap on the host so E_occ is
+    a static shape. Empty cells and the out-of-AABB sentinel both remap to
+    the compact skip id E_occ."""
+    import numpy as np
+    occupied = np.asarray(occupied, bool)
+    E = field.grid ** 3
+    idx = np.where(occupied)[0]
+    if idx.size == 0:
+        raise ValueError("no occupied cells — sigma_thresh too high?")
+    remap = np.full(E + 1, idx.size, np.int32)
+    remap[idx] = np.arange(idx.size, dtype=np.int32)
+    experts_c = ep.ExpertMLP(*(jnp.asarray(np.asarray(w)[idx])
+                               for w in field.experts))
+    return CompactExpertField(experts_c, jnp.asarray(remap),
+                              field.aabb_min, field.aabb_max, field.grid,
+                              field.l_pos, field.l_dir)
+
+
+def expert_raw_fn_compact(cfield: CompactExpertField, pos: jnp.ndarray,
+                          dirs: jnp.ndarray, capacity: int):
+    """Serving with empty-space skipping: samples in empty cells (or outside
+    the AABB) render as zero density and consume no bucket capacity; only
+    the E_occ occupied experts' weights participate in the batched matmuls.
+    Returns (raw [N,4], overflow [N])."""
+    E = cfield.grid ** 3
+    inside = jnp.all((pos >= cfield.aabb_min) & (pos <= cfield.aabb_max), -1)
+    vox = ep.voxel_expert_ids(pos, cfield.aabb_min, cfield.aabb_max,
+                              cfield.grid)
+    ids = cfield.remap[jnp.where(inside, vox, E)]
+    x = _encode(ExpertField(cfield.experts, cfield.aabb_min, cfield.aabb_max,
+                            cfield.grid, cfield.l_pos, cfield.l_dir),
+                pos, dirs)
+    res = ep.expert_apply_bucketed(cfield.experts, x, ids, capacity)
+    return res.out, res.overflow
+
+
+def render_rays_with_experts_compact(
+        cfield: CompactExpertField, origins: jnp.ndarray, dirs: jnp.ndarray,
+        z_vals: jnp.ndarray, capacity: int,
+        white_background: bool = False) -> tuple:
+    """ESS twin of render_rays_with_experts_bucketed."""
+    pos = origins[:, None, :] + z_vals[..., None] * dirs[:, None, :]
+    R, S = z_vals.shape
+    d_flat = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+    raw, overflow = expert_raw_fn_compact(cfield, pos.reshape(-1, 3), d_flat,
+                                          capacity)
+    outs = raw2outputs(raw.reshape(R, S, 4), z_vals, dirs,
+                       white_background=white_background)
+    return outs, overflow.sum()
+
+
 def finetune_experts(field: ExpertField, origins, dirs, rgb, key, *,
                      near: float, far: float, n_samples: int, capacity: int,
                      n_steps: int = 1000, batch: int = 4096, lr: float = 5e-4,

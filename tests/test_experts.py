@@ -174,3 +174,67 @@ def test_finetune_reduces_pixel_error():
     assert after < before, (before, after)
     # donation hygiene: the input field must remain usable after the call
     assert pixel_mse(field) == before
+
+
+def test_compact_field_ess_render():
+    """Empty-space skipping: with every cell occupied the compact render is
+    EXACTLY the bucketed render; with a hand-built mask, samples in empty
+    cells return zero raw; an all-empty mask raises."""
+    import pytest
+    teacher_fn = _teacher()
+    field, _ = _distilled(teacher_fn)
+    E = field.grid ** 3
+
+    rng = np.random.RandomState(13)
+    R, S = 16, 24
+    origins = jnp.asarray(np.tile([[0.0, 0.0, -0.9]], (R, 1)).astype(np.float32))
+    d = rng.uniform(-0.3, 0.3, (R, 3)).astype(np.float32) + [0, 0, 1]
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = jnp.broadcast_to(jnp.linspace(0.05, 1.7, S), (R, S))
+
+    # all-occupied mask -> identical pixels to the bucketed path
+    cfield = ex.compact_field(field, np.ones(E, bool))
+    want, _ = ex.render_rays_with_experts_bucketed(field, origins, dirs, z,
+                                                   capacity=R * S)
+    got, n_over = ex.render_rays_with_experts_compact(cfield, origins, dirs,
+                                                      z, capacity=R * S)
+    assert int(n_over) == 0
+    np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(want.rgb),
+                               atol=1e-6)
+
+    # hand mask: only cell 0 occupied -> samples elsewhere give zero raw
+    mask = np.zeros(E, bool)
+    mask[0] = True
+    cfield0 = ex.compact_field(field, mask)
+    pos = (origins[:, None, :] + z[..., None] * dirs[:, None, :]).reshape(-1, 3)
+    d_flat = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+    raw, _ = ex.expert_raw_fn_compact(cfield0, pos, d_flat, capacity=R * S)
+    ids = np.asarray(ep.voxel_expert_ids(pos, field.aabb_min, field.aabb_max,
+                                         field.grid))
+    assert np.all(np.asarray(raw)[ids != 0] == 0.0)
+    assert np.abs(np.asarray(raw)[ids == 0]).max() > 0
+
+    with pytest.raises(ValueError, match="no occupied"):
+        ex.compact_field(field, np.zeros(E, bool))
+
+
+def test_cell_occupancy_and_dilation():
+    """The occupancy probe flags cells whose probes clear the threshold, and
+    dilation grows the mask by exactly the 1-cell neighborhood (no wrap)."""
+    teacher_fn = _teacher()
+    field, _ = _distilled(teacher_fn)
+    E = field.grid ** 3
+    occ_all = ex.cell_occupancy(field, samples_per_axis=2,
+                                sigma_thresh=-1e9)
+    assert occ_all.shape == (E,) and occ_all.all()
+    occ_none = ex.cell_occupancy(field, samples_per_axis=2, sigma_thresh=1e9)
+    assert not occ_none.any()
+
+    g = 4
+    seed = np.zeros((g, g, g), bool)
+    seed[0, 0, 0] = True
+    grown = ex.dilate_occupancy(seed.reshape(-1), g).reshape(g, g, g)
+    want = np.zeros((g, g, g), bool)
+    for sh in [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)]:
+        want[sh] = True
+    assert (grown == want).all(), "dilation must not wrap around"

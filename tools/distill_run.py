@@ -103,9 +103,11 @@ def _image_rays(data, i):
     return data.origins[sl], data.directions[sl]
 
 
-def max_bucket_count(data, aabb_min, aabb_max, grid, z, chunk):
+def max_bucket_count(data, aabb_min, aabb_max, grid, z, chunk, occupied=None):
     """Worst per-expert in-AABB sample count over every chunk this render
-    will execute — sizes the static bucket capacity with no silent drops."""
+    will execute — sizes the static bucket capacity with no silent drops.
+    With `occupied` [E] bool, only occupied cells count (ESS serving skips
+    the rest)."""
     E = grid ** 3
     worst = 0
     z = np.asarray(z, np.float32)
@@ -120,7 +122,11 @@ def max_bucket_count(data, aabb_min, aabb_max, grid, z, chunk):
             u = (pos[inside] - aabb_min) / (aabb_max - aabb_min)
             c = np.clip((u * grid).astype(np.int64), 0, grid - 1)
             ids = (c[:, 0] * grid + c[:, 1]) * grid + c[:, 2]
-            worst = max(worst, int(np.bincount(ids, minlength=E).max()))
+            counts = np.bincount(ids, minlength=E)
+            if occupied is not None:
+                counts = counts[occupied]
+            if counts.size:
+                worst = max(worst, int(counts.max()))
     return worst
 
 
@@ -151,6 +157,15 @@ def main(argv=None):
     p.add_argument("--train_dir", default=None,
                    help="train split for fine-tuning (default: "
                         "<dataset_dir>/../train)")
+    p.add_argument("--ess", type=int, default=1,
+                   help="also serve through empty-space skipping: drop the "
+                        "experts of empty cells (occupancy probed from the "
+                        "distilled field, 1-cell dilation) and score + time "
+                        "that render")
+    p.add_argument("--ess_thresh", type=float, default=1.0,
+                   help="raw-sigma threshold for the cell-occupancy probe")
+    p.add_argument("--ess_probe", type=int, default=3,
+                   help="occupancy probe lattice points per cell axis")
     p.add_argument("--sigma_thresh", type=float, default=5.0)
     p.add_argument("--probe_res", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
@@ -300,6 +315,45 @@ def main(argv=None):
                    "final_pixel_mse": round(float(ft_loss), 6),
                    "overflow": ft_over, "scores": ft_scores, "gap": ft_gap}
 
+    # KiloNeRF empty-space skipping: compact the final field to its occupied
+    # cells (mask probed from the field itself + 1-cell dilation), re-score
+    # and time the ESS render
+    ess_meta = None
+    if args.ess:
+        occ = ex.dilate_occupancy(
+            ex.cell_occupancy(field, args.ess_probe, args.ess_thresh),
+            args.grid)
+        cfield = ex.compact_field(field, occ)
+        ess_cap = max_bucket_count(data, np.asarray(aabb_min),
+                                   np.asarray(aabb_max), args.grid, z_row,
+                                   args.chunk, occupied=occ)
+        ess_cap = int(np.ceil(max(ess_cap, 1) * 1.02 / 64) * 64)
+        n_occ = int(occ.sum())
+        print(f"ESS: {n_occ}/{args.grid ** 3} cells occupied "
+              f"({100 * n_occ / args.grid ** 3:.1f}%), capacity {ess_cap}")
+
+        @jax.jit
+        def render_ess(o, d, experts_remap):
+            experts, remap = experts_remap
+            z = jnp.broadcast_to(jnp.asarray(z_row), (o.shape[0], S))
+            outs, n_over = ex.render_rays_with_experts_compact(
+                cfield._replace(experts=experts, remap=remap), o, d, z,
+                ess_cap, white_background=white)
+            return outs.rgb, n_over
+
+        ess_scores, ess_gap = None, None
+        print("— ESS render —")
+        imgs, n_over = render_split(render_ess, (cfield.experts, cfield.remap))
+        if n_over:
+            raise RuntimeError(f"{n_over} samples overflowed ESS capacity "
+                               f"{ess_cap}")
+        ess_scores = print_scores(imgs, truths)
+        print("— ESS gap vs teacher (same integration) —")
+        ess_gap = print_scores(imgs, teach_imgs)
+        ess_meta = {"occupied_cells": n_occ, "total_cells": args.grid ** 3,
+                    "capacity": ess_cap, "thresh": args.ess_thresh,
+                    "scores": ess_scores, "gap": ess_gap}
+
     # latency, one full image through the same chunking, best-of-N; the sync
     # is the np.asarray round-trip inside render_split-style loops
     def time_image(fn, *extra):
@@ -316,9 +370,13 @@ def main(argv=None):
 
     t_teacher = time_image(render_teacher)
     t_expert = time_image(render_expert, field.experts)
+    t_ess = (time_image(render_ess, (cfield.experts, cfield.remap))
+             if ess_meta else None)
     print(f"render latency ({data.h}x{data.w}, {S} samples/ray, best of "
           f"{args.time_reps}): teacher {t_teacher * 1e3:.1f} ms, distilled "
-          f"{t_expert * 1e3:.1f} ms ({t_teacher / t_expert:.1f}x)")
+          f"{t_expert * 1e3:.1f} ms ({t_teacher / t_expert:.1f}x)"
+          + (f", ESS {t_ess * 1e3:.1f} ms ({t_teacher / t_ess:.1f}x)"
+             if t_ess else ""))
 
     out = {
         "run_dir": args.run_dir, "dataset_dir": args.dataset_dir,
@@ -327,10 +385,13 @@ def main(argv=None):
         "distill_seconds": round(distill_s, 1),
         "distill_final_mse": round(float(loss), 5),
         "teacher": teacher_scores, "distilled": dist_scores,
-        "distill_gap": gap_scores, "finetune": ft_meta,
+        "distill_gap": gap_scores, "finetune": ft_meta, "ess": ess_meta,
         "latency_ms": {"teacher": round(t_teacher * 1e3, 2),
                        "distilled": round(t_expert * 1e3, 2),
-                       "speedup": round(t_teacher / t_expert, 2)},
+                       "speedup": round(t_teacher / t_expert, 2),
+                       **({"ess": round(t_ess * 1e3, 2),
+                           "ess_speedup": round(t_teacher / t_ess, 2)}
+                          if t_ess else {})},
     }
     with open(os.path.join(args.out_dir, "scores.json"), "w") as fh:
         json.dump(out, fh, indent=1)
