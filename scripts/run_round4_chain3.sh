@@ -47,8 +47,8 @@ for ATTEMPT in $(seq 1 ${MAX_ATTEMPTS:-8}); do
   log "=== attempt $ATTEMPT ==="
   if bash scripts/wait_for_tpu.sh --max-wait 7200 \
      && stage_distill g16h32 --grid 16 --hidden 32 --steps 3000 \
-                             --samples 192 --chunk 4096 --time_reps 5 \
-                             --finetune_steps 2000; then
+                             --samples 192 --chunk 2048 --time_reps 5 \
+                             --finetune_steps 2000 --finetune_batch 2048; then
     log "=== chain 3 complete ==="
     exit 0
   fi
