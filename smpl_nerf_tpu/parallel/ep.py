@@ -85,7 +85,8 @@ class EPResult(NamedTuple):
 
 
 def expert_apply_bucketed(experts: ExpertMLP, x: jnp.ndarray,
-                          expert_ids: jnp.ndarray, capacity: int) -> EPResult:
+                          expert_ids: jnp.ndarray, capacity: int,
+                          compute_dtype=None) -> EPResult:
     """Single-device MXU-dense expert evaluation via sort + static buckets.
 
     `expert_apply` gathers each token's WEIGHT tensors — N*(D*H + H*O) floats
@@ -104,10 +105,18 @@ def expert_apply_bucketed(experts: ExpertMLP, x: jnp.ndarray,
 
     Tokens past `capacity` in their bucket come back masked in `overflow`
     (no silent drops); size capacity from a worst-case bucket count.
+
+    `compute_dtype` (e.g. jnp.bfloat16) casts activations + weights for the
+    bucket matmuls — halves the bucket tensors' HBM and doubles the MXU
+    rate; the output is cast back to the input dtype for integration.
     """
     E = experts.w0.shape[0]
     N, D = x.shape
     C = int(capacity)
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        experts = ExpertMLP(*(w.astype(compute_dtype) for w in experts))
     order = jnp.argsort(expert_ids, stable=True)
     sorted_ids = expert_ids[order]
     # rank of each token within its expert's run of the sorted order
@@ -126,7 +135,7 @@ def expert_apply_bucketed(experts: ExpertMLP, x: jnp.ndarray,
     O = out_b.shape[-1]
     out = jnp.zeros((N, O), out_b.dtype).at[order].set(out_sorted)
     overflow = jnp.zeros((N,), bool).at[order].set(~keep & ~skip)
-    return EPResult(out, overflow)
+    return EPResult(out.astype(out_dtype), overflow)
 
 
 def expert_parallel_apply(mesh: Mesh, experts: ExpertMLP, x: jnp.ndarray,

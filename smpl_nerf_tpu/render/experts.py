@@ -73,7 +73,8 @@ def expert_raw_fn(field: ExpertField, pos: jnp.ndarray,
 
 
 def expert_raw_fn_bucketed(field: ExpertField, pos: jnp.ndarray,
-                           dirs: jnp.ndarray, capacity: int):
+                           dirs: jnp.ndarray, capacity: int,
+                           compute_dtype=None):
     """raw [N,4] via the sorted-bucket MXU path (ep.expert_apply_bucketed) —
     the on-chip serving form. Samples OUTSIDE the AABB are routed to the
     skip id (zero raw -> zero density, exact for a field distilled over an
@@ -86,14 +87,14 @@ def expert_raw_fn_bucketed(field: ExpertField, pos: jnp.ndarray,
         ep.voxel_expert_ids(pos, field.aabb_min, field.aabb_max, field.grid),
         E)
     res = ep.expert_apply_bucketed(field.experts, _encode(field, pos, dirs),
-                                   ids, capacity)
+                                   ids, capacity, compute_dtype=compute_dtype)
     return res.out, res.overflow
 
 
 def render_rays_with_experts_bucketed(
         field: ExpertField, origins: jnp.ndarray, dirs: jnp.ndarray,
         z_vals: jnp.ndarray, capacity: int,
-        white_background: bool = False) -> tuple:
+        white_background: bool = False, compute_dtype=None) -> tuple:
     """Bucketed-serving twin of render_rays_with_experts.
 
     Returns (RenderOutputs, n_overflow) — callers must check n_overflow == 0
@@ -102,7 +103,8 @@ def render_rays_with_experts_bucketed(
     R, S = z_vals.shape
     d_flat = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
     raw, overflow = expert_raw_fn_bucketed(field, pos.reshape(-1, 3), d_flat,
-                                           capacity)
+                                           capacity,
+                                           compute_dtype=compute_dtype)
     outs = raw2outputs(raw.reshape(R, S, 4), z_vals, dirs,
                        white_background=white_background)
     return outs, overflow.sum()
@@ -246,7 +248,8 @@ def compact_field(field: ExpertField, occupied) -> CompactExpertField:
 
 
 def expert_raw_fn_compact(cfield: CompactExpertField, pos: jnp.ndarray,
-                          dirs: jnp.ndarray, capacity: int):
+                          dirs: jnp.ndarray, capacity: int,
+                          compute_dtype=None):
     """Serving with empty-space skipping: samples in empty cells (or outside
     the AABB) render as zero density and consume no bucket capacity; only
     the E_occ occupied experts' weights participate in the batched matmuls.
@@ -259,20 +262,22 @@ def expert_raw_fn_compact(cfield: CompactExpertField, pos: jnp.ndarray,
     x = _encode(ExpertField(cfield.experts, cfield.aabb_min, cfield.aabb_max,
                             cfield.grid, cfield.l_pos, cfield.l_dir),
                 pos, dirs)
-    res = ep.expert_apply_bucketed(cfield.experts, x, ids, capacity)
+    res = ep.expert_apply_bucketed(cfield.experts, x, ids, capacity,
+                                   compute_dtype=compute_dtype)
     return res.out, res.overflow
 
 
 def render_rays_with_experts_compact(
         cfield: CompactExpertField, origins: jnp.ndarray, dirs: jnp.ndarray,
         z_vals: jnp.ndarray, capacity: int,
-        white_background: bool = False) -> tuple:
+        white_background: bool = False, compute_dtype=None) -> tuple:
     """ESS twin of render_rays_with_experts_bucketed."""
     pos = origins[:, None, :] + z_vals[..., None] * dirs[:, None, :]
     R, S = z_vals.shape
     d_flat = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
     raw, overflow = expert_raw_fn_compact(cfield, pos.reshape(-1, 3), d_flat,
-                                          capacity)
+                                          capacity,
+                                          compute_dtype=compute_dtype)
     outs = raw2outputs(raw.reshape(R, S, 4), z_vals, dirs,
                        white_background=white_background)
     return outs, overflow.sum()

@@ -138,3 +138,14 @@ def test_bucketed_overflow_flagged_not_silent():
     np.testing.assert_allclose(np.asarray(res.out)[kept], dense[kept],
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(res.out)[~kept], 0.0)
+
+
+def test_bucketed_compute_dtype_casts_and_restores():
+    experts, x, ids = _setup(n_tokens=64)
+    f32 = ep.expert_apply_bucketed(experts, x, ids, capacity=64)
+    bf = ep.expert_apply_bucketed(experts, x, ids, capacity=64,
+                                  compute_dtype=jnp.bfloat16)
+    assert bf.out.dtype == x.dtype          # cast back for integration
+    # bf16 mantissa: results agree to ~1% of the f32 magnitude
+    scale = float(jnp.abs(f32.out).max())
+    assert float(jnp.abs(f32.out - bf.out).max()) < 0.05 * max(scale, 1.0)

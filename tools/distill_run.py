@@ -210,6 +210,12 @@ def main(argv=None):
           f"(chunk {args.chunk} rays x {S} samples)")
 
     white = bool(getattr(run_args, "white_background", 0))
+    # symmetric serving dtype: the teacher's nets were built with the run's
+    # compute_dtype (training/factory.py), so the expert matmuls serve in the
+    # same precision; quality cost (if any) shows up in the scores
+    serve_dtype = (jnp.bfloat16
+                   if getattr(run_args, "compute_dtype", "float32")
+                   == "bfloat16" else None)
 
     @jax.jit
     def render_teacher(o, d):
@@ -225,7 +231,7 @@ def main(argv=None):
         z = jnp.broadcast_to(jnp.asarray(z_row), (o.shape[0], S))
         outs, n_over = ex.render_rays_with_experts_bucketed(
             field._replace(experts=experts), o, d, z, capacity,
-            white_background=white)
+            white_background=white, compute_dtype=serve_dtype)
         return outs.rgb, n_over
 
     def render_split(fn, experts=None):
@@ -338,7 +344,7 @@ def main(argv=None):
             z = jnp.broadcast_to(jnp.asarray(z_row), (o.shape[0], S))
             outs, n_over = ex.render_rays_with_experts_compact(
                 cfield._replace(experts=experts, remap=remap), o, d, z,
-                ess_cap, white_background=white)
+                ess_cap, white_background=white, compute_dtype=serve_dtype)
             return outs.rgb, n_over
 
         ess_scores, ess_gap = None, None
@@ -382,6 +388,7 @@ def main(argv=None):
         "run_dir": args.run_dir, "dataset_dir": args.dataset_dir,
         "grid": args.grid, "hidden": args.hidden, "steps": args.steps,
         "samples": S, "chunk": args.chunk, "capacity": capacity,
+        "serve_dtype": "bfloat16" if serve_dtype is not None else "float32",
         "distill_seconds": round(distill_s, 1),
         "distill_final_mse": round(float(loss), 5),
         "teacher": teacher_scores, "distilled": dist_scores,
