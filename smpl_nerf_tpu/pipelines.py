@@ -155,13 +155,20 @@ def resolve_fused_mode_auto(spec, pos_enc, dir_enc, backend: str) -> int:
     plain XLA at the production width in both round-3 and round-4 on-chip
     measurements (RESULTS.md roofline: W=256 fwd+bwd 31.8 ms vs 36.4 ms,
     +12.7%) — but is VMEM-infeasible at W>=384, where plain XLA is fastest
-    anyway. So: v2 when the kernel supports this net/encoder combination,
-    else plain XLA. On CPU (tests) always plain XLA."""
+    anyway, AND its advantage (raw 24 B/sample rows instead of ~170 B
+    encoded ones) only exists when the net takes no conditioning prefix:
+    the round-4 flagship A/B (append_smpl_params, 621-dim encoded pose
+    prefix riding every row) measured v2 ~18% SLOWER end-to-end
+    (artifacts/round4/fusedv2_e2e, epoch-1 54.9k vs 44.9k rays/s) while
+    the prefix-free microbench won. So: v2 only for prefix-free nets the
+    kernel supports, else plain XLA. On CPU (tests) always plain XLA."""
     from smpl_nerf_tpu.ops import fused_mlp_v2 as fused_v2
 
     if backend != "tpu":
         return 0
-    if fused_v2.vmem_feasible(spec) and fused_v2.supports(spec, pos_enc, dir_enc):
+    if (spec.additional_input_dim == 0
+            and fused_v2.vmem_feasible(spec)
+            and fused_v2.supports(spec, pos_enc, dir_enc)):
         return 2
     return 0
 

@@ -202,6 +202,13 @@ def test_resolve_fused_mode_auto(rng):
                             skips=(4,), use_directional_input=True,
                             dtype="float32")
     assert resolve_fused_mode_auto(big, pe, de, "tpu") == 0
+    # conditioning prefix (append families): v2's raw-row advantage is gone
+    # and the round-4 flagship A/B measured it ~18% slower e2e -> plain XLA
+    pref = fused_mlp.MlpSpec(n_layers=8, width=256, positions_dim=24,
+                             directions_dim=12, additional_input_dim=621,
+                             skips=(4,), use_directional_input=True,
+                             dtype="float32")
+    assert resolve_fused_mode_auto(pref, pe, de, "tpu") == 0
 
 
 def test_auto_mode_builds_plain_pipeline_on_cpu(rng):
