@@ -1,0 +1,57 @@
+#!/bin/bash
+# Round-4 TPU chain 5 (runs AFTER scripts/run_round4_chain4.sh exits):
+# the CLEAN expert-distillation measurement — the chain-3 attempt ran three
+# concurrent waiter instances (see CLAUDE.md supervisor-kill discipline) and
+# its latency numbers were chip-contention garbage. Also fixes the recipe:
+# 20k distill steps (3k left a 12 dB gap), grid 20, tighter AABB probe,
+# photometric fine-tune.
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_comp_cache}
+mkdir -p artifacts/round4
+
+log () { echo "[round4-chain5 $(date -u +%H:%M:%S)] $*"; }
+
+C4PID=$(cat /tmp/round4_chain4.pid 2>/dev/null || echo "")
+if [ -n "$C4PID" ]; then
+  log "waiting for chain 4 (pid $C4PID) to exit"
+  while kill -0 "$C4PID" 2>/dev/null; do sleep 60; done
+fi
+log "chain 4 exited; chain 5 owns the TPU"
+
+TEACHER=$(for d in $(ls -dt runs/*canonical_nerf_256 2>/dev/null); do
+            [ -d "$d/best" ] && { echo "$d"; break; }; done)
+[ -z "$TEACHER" ] && { log "no canonical_nerf_256 teacher on disk"; exit 0; }
+
+stage_distill () {
+  local TAG=$1; shift
+  local OUT=runs/distill_$TAG
+  if [ ! -s "$OUT/scores.json" ]; then
+    timeout 7200 python tools/distill_run.py --run_dir "$TEACHER/best" \
+        --dataset_dir data/canonical_256/val --out_dir "$OUT" "$@" \
+        2>&1 | tee "$OUT.log" || return 1
+    [ -s "$OUT/scores.json" ] || return 1
+  fi
+  mkdir -p artifacts/round4/distill
+  cp "$OUT/scores.json" "artifacts/round4/distill/${TAG}_scores.json"
+  [ -f "$OUT.log" ] && cp "$OUT.log" "artifacts/round4/distill/${TAG}.log"
+  git add artifacts/round4/distill >/dev/null 2>&1
+  git commit -q -m "artifacts: round-4 expert-distillation $TAG (clean, single TPU owner)" \
+      -- artifacts/round4/distill || true
+  log "committed distill $TAG"
+}
+
+for ATTEMPT in $(seq 1 ${MAX_ATTEMPTS:-8}); do
+  log "=== attempt $ATTEMPT ==="
+  if bash scripts/wait_for_tpu.sh --max-wait 7200 \
+     && stage_distill g20 --grid 20 --hidden 32 --steps 20000 --batch 8192 \
+            --samples 192 --chunk 2048 --time_reps 5 --probe_res 96 \
+            --sigma_thresh 10 --finetune_steps 3000 --finetune_batch 4096; then
+    log "=== chain 5 complete ==="
+    exit 0
+  fi
+  log "=== attempt $ATTEMPT failed — retrying in 120s ==="
+  sleep 120
+done
+log "gave up"
+exit 1
