@@ -12,12 +12,16 @@ mkdir -p artifacts/round4
 
 log () { echo "[round4-chain5 $(date -u +%H:%M:%S)] $*"; }
 
-C4PID=$(cat /tmp/round4_chain4.pid 2>/dev/null || echo "")
-if [ -n "$C4PID" ]; then
-  log "waiting for chain 4 (pid $C4PID) to exit"
-  while kill -0 "$C4PID" 2>/dev/null; do sleep 60; done
-fi
-log "chain 4 exited; chain 5 owns the TPU"
+# Robust single-owner barrier: pidfiles have lied before (see CLAUDE.md
+# supervisor-kill discipline) — wait until NO other TPU-owning process is
+# visible in ps, pidfile or not. (Scan only; never kill by pattern.)
+busy () {
+  ps -eo pid,args | grep -E \
+    "train\.py|inference\.py|distill_run\.py|run_round4_chain[1-4]" \
+    | grep -v grep | grep -v $$ >/dev/null
+}
+while busy; do sleep 60; done
+log "no other TPU owner visible; chain 5 owns the TPU"
 
 TEACHER=$(for d in $(ls -dt runs/*canonical_nerf_256 2>/dev/null); do
             [ -d "$d/best" ] && { echo "$d"; break; }; done)
