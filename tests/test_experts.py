@@ -238,3 +238,24 @@ def test_cell_occupancy_and_dilation():
     for sh in [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)]:
         want[sh] = True
     assert (grown == want).all(), "dilation must not wrap around"
+
+
+def test_occupancy_biased_distillation_runs_and_converges():
+    """distill_experts with an occupancy mask: biased sampling must still
+    fit the teacher (same convergence bar as the uniform path at this tiny
+    scale) — and a bias toward a single cell must not break the others'
+    zero-anchoring (the uniform remainder covers them)."""
+    teacher_fn = _teacher()
+    occ = np.ones(8, bool)
+    field, loss = ex.distill_experts(
+        teacher_fn, AABB[0], AABB[1], grid=2, key=jax.random.PRNGKey(2),
+        hidden=64, n_steps=1500, batch=2048, lr=3e-3,
+        occupied=occ, bias_frac=0.5)
+    assert loss < 0.1, loss
+    rng = np.random.RandomState(9)
+    pos = jnp.asarray(rng.uniform(-1, 1, (256, 3)).astype(np.float32))
+    d = rng.randn(256, 3).astype(np.float32)
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    err = np.sqrt(np.mean((np.asarray(ex.expert_raw_fn(field, pos, dirs))
+                           - np.asarray(teacher_fn(pos, dirs))) ** 2))
+    assert err < 0.35 * float(np.std(np.asarray(teacher_fn(pos, dirs))))

@@ -166,6 +166,9 @@ def main(argv=None):
                    help="raw-sigma threshold for the cell-occupancy probe")
     p.add_argument("--ess_probe", type=int, default=3,
                    help="occupancy probe lattice points per cell axis")
+    p.add_argument("--distill_bias", type=float, default=0.5,
+                   help="fraction of distill samples drawn inside the "
+                        "TEACHER's occupied cells (0 = uniform only)")
     p.add_argument("--sigma_thresh", type=float, default=5.0)
     p.add_argument("--probe_res", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
@@ -188,11 +191,22 @@ def main(argv=None):
     print(f"AABB {np.round(aabb_min, 3)} .. {np.round(aabb_max, 3)} "
           f"({time.time() - t0:.1f}s probe)")
 
+    occ_teacher = None
+    if args.distill_bias > 0:
+        occ_teacher = ex.dilate_occupancy(
+            ex.grid_occupancy(teacher_fn, aabb_min, aabb_max, args.grid,
+                              samples_per_axis=args.ess_probe,
+                              sigma_thresh=args.ess_thresh), args.grid)
+        print(f"teacher occupancy on the distill grid: "
+              f"{int(occ_teacher.sum())}/{args.grid ** 3} cells — "
+              f"{args.distill_bias:.0%} of distill samples biased there")
+
     t0 = time.time()
     field, loss = ex.distill_experts(
         teacher_fn, aabb_min, aabb_max, args.grid, jax.random.PRNGKey(args.seed),
         hidden=args.hidden, l_pos=args.l_pos, l_dir=args.l_dir,
-        n_steps=args.steps, batch=args.batch, lr=args.lr)
+        n_steps=args.steps, batch=args.batch, lr=args.lr,
+        occupied=occ_teacher, bias_frac=args.distill_bias)
     distill_s = time.time() - t0
     print(f"distilled grid={args.grid}^3 hidden={args.hidden} in "
           f"{distill_s:.1f}s, final normalized mse {loss:.4f}")
@@ -388,6 +402,7 @@ def main(argv=None):
         "run_dir": args.run_dir, "dataset_dir": args.dataset_dir,
         "grid": args.grid, "hidden": args.hidden, "steps": args.steps,
         "samples": S, "chunk": args.chunk, "capacity": capacity,
+        "distill_bias": args.distill_bias,
         "serve_dtype": "bfloat16" if serve_dtype is not None else "float32",
         "distill_seconds": round(distill_s, 1),
         "distill_final_mse": round(float(loss), 5),
