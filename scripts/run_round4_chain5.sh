@@ -50,7 +50,11 @@ for ATTEMPT in $(seq 1 ${MAX_ATTEMPTS:-8}); do
   if bash scripts/wait_for_tpu.sh --max-wait 7200 \
      && stage_distill g20 --grid 20 --hidden 32 --steps 20000 --batch 8192 \
             --samples 192 --chunk 2048 --time_reps 5 --probe_res 96 \
-            --sigma_thresh 10 --finetune_steps 3000 --finetune_batch 4096; then
+            --sigma_thresh 10 --finetune_steps 3000 --finetune_batch 4096 \
+     && stage_distill g20_nobias --grid 20 --hidden 32 --steps 20000 \
+            --batch 8192 --samples 192 --chunk 2048 --time_reps 3 \
+            --probe_res 96 --sigma_thresh 10 --distill_bias 0 \
+            --finetune_steps 0; then
     log "=== chain 5 complete ==="
     exit 0
   fi
