@@ -45,9 +45,42 @@ stage_distill () {
   log "committed distill $TAG"
 }
 
+# two boundary probes for the warp sweep ridge (t=100 showed radius finally
+# matters: r0.3 29.5 vs r0.15 27.4 — check wider and softer)
+stage_sweep_edge () {
+  local DS=data/armsweep_256_aa
+  local COMMON="--config=/dev/null --dataset_dir=$DS --batchsize=2048
+    --batchsize_val=4096 --sigma_noise_std=1 --white_background=1 --near=1.0
+    --far=4.0 --skips=4 --lrate=5e-4 --compute_dtype=bfloat16 --use_pallas=1
+    --scan_steps=16 --foreground_sample_ratio=0.5 --val_rays=131072
+    --number_validation_images=0 --render_gif=0 --param_ema=0.999
+    --model_type=dummy_dynamic --number_coarse_samples=64 --run_fine=0
+    --images_per_batch=8"
+  for RT in 0.5:100 0.3:30; do
+    local R=${RT%%:*} T=${RT##*:}
+    local NAME=dynsweep_r${R}_t${T}
+    local RUN
+    RUN=$(ls -dt runs/*${NAME} 2>/dev/null | head -1)
+    if [ -n "$RUN" ] && [ -f "$RUN/val_curve.json" ] \
+       && [ "$(python -c "import json;print(len(json.load(open('$RUN/val_curve.json'))))" 2>/dev/null)" -ge 6 ]; then
+      continue
+    fi
+    timeout 3600 python train.py $COMMON --warp_radius=$R \
+        --warp_temperature=$T --steps_per_epoch=1000 --num_epochs=6 \
+        --experiment_name=$NAME || return 1
+    RUN=$(ls -dt runs/*${NAME} | head -1)
+    mkdir -p artifacts/round4/sweep
+    cp "$RUN/val_curve.json" "artifacts/round4/sweep/${NAME}_val_curve.json"
+    git add artifacts/round4/sweep >/dev/null 2>&1
+    git commit -q -m "artifacts: round-4 sweep edge probe $NAME" \
+        -- artifacts/round4/sweep || true
+  done
+}
+
 for ATTEMPT in $(seq 1 ${MAX_ATTEMPTS:-8}); do
   log "=== attempt $ATTEMPT ==="
   if bash scripts/wait_for_tpu.sh --max-wait 7200 \
+     && stage_sweep_edge \
      && stage_distill g20 --grid 20 --hidden 32 --steps 20000 --batch 8192 \
             --samples 192 --chunk 2048 --time_reps 5 --probe_res 96 \
             --sigma_thresh 10 --finetune_steps 3000 --finetune_batch 4096 \
