@@ -46,7 +46,7 @@ dyn_flags () {  # $1 = dataset dir — identical to the round-4 sweep recipe
 
 stage_data_armsweep () {
   [ -d "$ADS/train" ] && return 0
-  timeout 2400 python create_dataset.py --save_dir="$ADS" \
+  bash scripts/stall_guard.sh 1200 timeout 2400 python create_dataset.py --save_dir="$ADS" \
       --dataset_type=smpl_nerf --resolution=256 --camera_path=circle \
       --number_steps=12 --multi_human_pose=1 --human_number_steps=24 \
       --human_start_angle=0 --human_end_angle=60 --supersample=2
@@ -54,7 +54,7 @@ stage_data_armsweep () {
 
 stage_data_canonical () {
   [ -d data/canonical_256/train ] && return 0
-  timeout 1800 python create_dataset.py --save_dir=data/canonical_256 \
+  bash scripts/stall_guard.sh 1200 timeout 1800 python create_dataset.py --save_dir=data/canonical_256 \
       --dataset_type=smpl_nerf --resolution=256 --camera_path=circle \
       --number_steps=40 --multi_human_pose=1 --human_number_steps=1 \
       --human_start_angle=0 --human_end_angle=0
@@ -64,7 +64,7 @@ stage_data_walking () {
   [ -d "$WDS/train" ] && return 0
   [ -f data/walking_24.npz ] || timeout 1200 python tools/make_walking_sequence.py \
       --out data/walking_24.npz --frames 24 --cycles 1 || return 1
-  timeout 2400 python create_dataset.py --save_dir="$WDS" --dataset_type=smpl_nerf \
+  bash scripts/stall_guard.sh 1200 timeout 2400 python create_dataset.py --save_dir="$WDS" --dataset_type=smpl_nerf \
       --resolution=256 --camera_path=circle --number_steps=12 \
       --multi_human_pose=1 --smpl_sequence_file=data/walking_24.npz \
       --sequence_skip=1 --supersample=2
@@ -77,7 +77,7 @@ probe () {  # $1 = radius, $2 = temperature (6-epoch ridge probe)
   RUN=$(ls -dt runs/*${NAME} 2>/dev/null | head -1)
   if [ -z "$RUN" ] || [ ! -f "$RUN/val_curve.json" ] \
      || [ "$(python -c "import json;print(len(json.load(open('$RUN/val_curve.json'))))" 2>/dev/null)" -lt 6 ]; then
-    timeout 3600 python train.py $(dyn_flags $ADS) --warp_radius=$1 \
+    bash scripts/stall_guard.sh 1200 timeout 3600 python train.py $(dyn_flags $ADS) --warp_radius=$1 \
         --warp_temperature=$2 --steps_per_epoch=1000 --num_epochs=6 \
         --experiment_name=$NAME || return 1
     RUN=$(ls -dt runs/*${NAME} | head -1)
@@ -97,7 +97,7 @@ stage_teacher () {
     RESUME="--load_run=$CANON"
   fi
   if [ "$DONE" -lt 30 ]; then
-    timeout 7200 python train.py --config=/dev/null --dataset_dir=data/canonical_256 \
+    bash scripts/stall_guard.sh 1200 timeout 7200 python train.py --config=/dev/null --dataset_dir=data/canonical_256 \
       --model_type=nerf --batchsize=2048 --batchsize_val=4096 \
       --number_coarse_samples=64 --run_fine=0 --sigma_noise_std=1 \
       --white_background=1 --near=1.0 --far=4.0 --skips=4 --lrate=5e-4 \
@@ -147,13 +147,13 @@ train_converged () {  # $1 = name, $2 = dataset, $3 = radius, $4 = temp, $5 = ep
   fi
   LEFT=$((TARGET - DONE))
   if [ "$LEFT" -gt 0 ]; then
-    timeout 10800 python train.py $(dyn_flags $DS) --warp_radius=$R \
+    bash scripts/stall_guard.sh 1200 timeout 10800 python train.py $(dyn_flags $DS) --warp_radius=$R \
         --warp_temperature=$T --steps_per_epoch=2000 --num_epochs=$LEFT \
         $RESUME --experiment_name=$NAME || return 1
   fi
   RUN=$(ls -dt runs/*${NAME} | head -1)
   if [ -d "$RUN/best" ] && [ ! -f "$RUN/renders_val/scores.json" ]; then
-    timeout 3600 python inference.py --inf_run_dir="$RUN/best" \
+    bash scripts/stall_guard.sh 1200 timeout 3600 python inference.py --inf_run_dir="$RUN/best" \
         --inf_ground_truth_dir="$DS/val" --inf_save_dir="$RUN/renders_val" \
         --inf_batchsize=16384 | tee "$RUN/inference.log" || return 1
   fi

@@ -97,7 +97,10 @@ class RayData:
                 # in-step path: per-image goal meshes + the shared jitter ride
                 # as per-IMAGE tables; the pipeline recomputes samples and
                 # warps per batch (O(N_img*V) HBM instead of O(N_rays*S))
-                out["goal_verts_table"] = self.vs_goal_verts
+                # '_itable' = whole per-image table passed through the batch
+                # UNGATHERED: the pipeline dedups it over the batch's unique
+                # images (images_per_batch) instead of a [R, V, 3] gather
+                out["goal_verts_itable"] = self.vs_goal_verts
                 out["vs_z_table"] = np.tile(self.vs_z[None],
                                             (self.num_images, 1))
         return out

@@ -138,6 +138,123 @@ def expert_apply_bucketed(experts: ExpertMLP, x: jnp.ndarray,
     return EPResult(out.astype(out_dtype), overflow)
 
 
+class TilePlan(NamedTuple):
+    """Static-shape routing plan for `expert_apply_tiled` (all [L]=budget or
+    [N] arrays; jit-friendly). Built by `sorted_tile_plan`; callers gather
+    their token features with `tok` (then run `tiles_apply`) and map results
+    back with `slot_of`/`take`."""
+    tok: jnp.ndarray          # [L] source token index per padded slot
+    valid: jnp.ndarray        # [L] bool: slot holds a real token
+    tile_expert: jnp.ndarray  # [L // tile] expert id per tile
+    slot_of: jnp.ndarray      # [N] padded slot of each token (garbage if skip)
+    take: jnp.ndarray         # [N] bool: token is real AND within budget
+    overflow: jnp.ndarray     # [N] bool: real token past the slot budget
+
+
+def sorted_tile_plan(expert_ids: jnp.ndarray, n_experts: int, budget: int,
+                     tile: int = 256) -> TilePlan:
+    """Route tokens into a run-padded sorted stream of single-expert tiles.
+
+    The bucket form (`expert_apply_bucketed`) pays for E × capacity slots
+    with ONE global worst-case capacity — measured at 50×+ dead slots on
+    human scenes (round-4 distill serving: 66 s/image dense, still slower
+    than the teacher after ESS compaction). This plan instead sorts tokens
+    by expert and pads each expert's RUN to a multiple of `tile`:
+
+        slots used = n_real_tokens + (≤ tile-1 padding per non-empty expert)
+
+    Every tile holds exactly one expert's tokens (runs start at tile-aligned
+    offsets because padded counts are tile multiples), so the mixture
+    evaluates as [n_tiles, tile, D] batched matmuls whose weights are
+    gathered once per TILE, not per token — weight traffic shrinks by
+    `tile`× vs `expert_apply`, and there is no dense [E, capacity] tensor at
+    all. This is the TPU analog of KiloNeRF's fused per-block CUDA kernel
+    (the reference's precedent for hand-routing a hot loop:
+    /root/reference/torchsearchsorted/src/cuda/searchsorted_cuda_kernel.cu).
+
+    Tokens with expert_ids >= n_experts are SKIPPED (sorted to the end,
+    consume no slots, output masked to zero, overflow False) — the same
+    out-of-AABB / empty-cell contract as the bucketed path.
+
+    `budget` (static, a multiple of `tile`) bounds the padded stream length;
+    real tokens past it are flagged in `overflow`, never silently dropped.
+    Size it with the host-side worst case: n_real + n_occupied_experts*tile.
+    """
+    if budget % tile:
+        raise ValueError(f"budget={budget} must be a multiple of tile={tile}")
+    E = n_experts
+    N = expert_ids.shape[0]
+    order = jnp.argsort(expert_ids, stable=True)          # skip ids sort last
+    sorted_ids = expert_ids[order]
+    starts = jnp.searchsorted(sorted_ids, jnp.arange(E + 1))   # starts[E]=n_real
+    counts = starts[1:] - starts[:-1]                          # [E]
+    padded = ((counts + tile - 1) // tile) * tile
+    pstarts = jnp.concatenate([jnp.zeros((1,), counts.dtype),
+                               jnp.cumsum(padded)])            # [E+1], tile-aligned
+    n_tiles = budget // tile
+    tile_expert = jnp.clip(
+        jnp.searchsorted(pstarts, jnp.arange(n_tiles) * tile, side="right") - 1,
+        0, E - 1)
+    e_s = jnp.repeat(tile_expert, tile)                        # [L]
+    off = jnp.arange(budget) - pstarts[e_s]
+    src = starts[e_s] + off
+    valid = (off >= 0) & (off < counts[e_s])
+    tok = order[jnp.clip(src, 0, N - 1)]
+    # inverse map: padded slot of each ORIGINAL token
+    inv = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32))
+    e_tok = jnp.clip(expert_ids, 0, E - 1)
+    slot_of = pstarts[e_tok] + (inv - starts[e_tok])
+    real = expert_ids < E
+    in_budget = slot_of < budget
+    return TilePlan(tok, valid, tile_expert, slot_of,
+                    take=real & in_budget, overflow=real & ~in_budget)
+
+
+def tiles_apply(experts: ExpertMLP, x_slots: jnp.ndarray,
+                plan: TilePlan, compute_dtype=None) -> jnp.ndarray:
+    """Evaluate the tiled mixture: x_slots [L, D] (features already gathered
+    into plan order, e.g. x[plan.tok]) -> [L, O]. Weights are gathered once
+    per tile; invalid slots are zeroed on input and output."""
+    out_dtype = x_slots.dtype
+    if compute_dtype is not None:
+        x_slots = x_slots.astype(compute_dtype)
+        experts = ExpertMLP(*(w.astype(compute_dtype) for w in experts))
+    L, D = x_slots.shape
+    n_tiles = plan.tile_expert.shape[0]
+    tile = L // n_tiles
+    xt = (x_slots * plan.valid[:, None].astype(x_slots.dtype)
+          ).reshape(n_tiles, tile, D)
+    w0 = experts.w0[plan.tile_expert]
+    h = jax.nn.relu(jnp.einsum("tbd,tdh->tbh", xt, w0)
+                    + experts.b0[plan.tile_expert][:, None, :])
+    o = (jnp.einsum("tbh,tho->tbo", h, experts.w1[plan.tile_expert])
+         + experts.b1[plan.tile_expert][:, None, :])
+    O = o.shape[-1]
+    return (o.reshape(L, O)
+            * plan.valid[:, None].astype(o.dtype)).astype(out_dtype)
+
+
+def plan_take(plan: TilePlan, out_slots: jnp.ndarray) -> jnp.ndarray:
+    """Map tiled outputs [L, O] back to token order [N, O] (zeros for skipped
+    or over-budget tokens)."""
+    L = out_slots.shape[0]
+    out = out_slots[jnp.clip(plan.slot_of, 0, L - 1)]
+    return out * plan.take[:, None].astype(out.dtype)
+
+
+def expert_apply_tiled(experts: ExpertMLP, x: jnp.ndarray,
+                       expert_ids: jnp.ndarray, budget: int,
+                       tile: int = 256, compute_dtype=None) -> EPResult:
+    """Drop-in for `expert_apply_bucketed` via the sorted-tile plan: same
+    contract (skip id == E, overflow flagged), no [E, capacity] tensor."""
+    E = experts.w0.shape[0]
+    plan = sorted_tile_plan(expert_ids, E, budget, tile)
+    out_slots = tiles_apply(experts, x[plan.tok], plan,
+                            compute_dtype=compute_dtype)
+    return EPResult(plan_take(plan, out_slots), plan.overflow)
+
+
 def expert_parallel_apply(mesh: Mesh, experts: ExpertMLP, x: jnp.ndarray,
                           expert_ids: jnp.ndarray, capacity: int,
                           axis: str = "model") -> EPResult:
@@ -146,6 +263,12 @@ def expert_parallel_apply(mesh: Mesh, experts: ExpertMLP, x: jnp.ndarray,
     x [N, D] and expert_ids [N] sharded on dim 0; experts sharded on their
     leading (expert) dim. `capacity` bounds tokens per (source shard, expert)
     bucket; E and N must divide by the axis size.
+
+    Tokens with expert_ids == E are SKIPPED exactly like the single-chip
+    bucketed path: zero output, overflow False, no bucket capacity consumed.
+    Ranking within each bucket uses the same argsort/searchsorted scheme as
+    `expert_apply_bucketed` — O(N log N) per shard, NOT the O(N·E) one-hot
+    cumsum (which materialized ~25 GB at serving scale E≈8000, N≈786k).
     """
     n = int(mesh.shape[axis])
     E = experts.w0.shape[0]
@@ -161,12 +284,17 @@ def expert_parallel_apply(mesh: Mesh, experts: ExpertMLP, x: jnp.ndarray,
              out_specs=(P(axis), P(axis)), check_vma=False)
     def run(w0, b0, w1, b1, x_l, ids_l):
         n_l = x_l.shape[0]
-        # position of each token within its expert's bucket (stable order)
-        onehot = jax.nn.one_hot(ids_l, E, dtype=jnp.int32)        # [n_l, E]
-        pos = (jnp.cumsum(onehot, 0) * onehot).sum(-1) - 1         # [n_l]
-        keep = pos < C
+        # rank of each token within its expert's bucket via the sorted order
+        # (identical scheme to expert_apply_bucketed; skip ids sort last)
+        order = jnp.argsort(ids_l, stable=True)
+        sorted_ids = ids_l[order]
+        starts = jnp.searchsorted(sorted_ids, jnp.arange(E))       # [E]
+        pos_sorted = jnp.arange(n_l) - starts[jnp.clip(sorted_ids, 0, E - 1)]
+        pos = jnp.zeros((n_l,), pos_sorted.dtype).at[order].set(pos_sorted)
+        skip = ids_l >= E
+        keep = (pos < C) & ~skip
         # scatter into per-expert buckets [E, C, D]
-        slot_e = jnp.where(keep, ids_l, E)      # overflow -> dropped row
+        slot_e = jnp.where(keep, ids_l, E)      # overflow/skip -> dropped row
         slot_c = jnp.clip(pos, 0, C - 1)
         buckets = jnp.zeros((E + 1, C, D), x_l.dtype).at[slot_e, slot_c].set(x_l)[:E]
         # route: [E, C, D] -> [n, e_local, C, D]; all_to_all swaps the expert
@@ -181,7 +309,7 @@ def expert_parallel_apply(mesh: Mesh, experts: ExpertMLP, x: jnp.ndarray,
                                  tiled=False)                      # [n, e_local, C, O]
         got = got.reshape(E, C, O)
         out_l = got[slot_e.clip(0, E - 1), slot_c] * keep[:, None].astype(x_l.dtype)
-        return out_l, ~keep
+        return out_l, ~keep & ~skip
 
     out, overflow = run(experts.w0, experts.b0, experts.w1, experts.b1,
                         x, expert_ids)

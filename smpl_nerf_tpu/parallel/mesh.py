@@ -57,9 +57,15 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place every batch array with its leading axis sharded over 'data'."""
+    """Place every batch array with its leading axis sharded over 'data'.
+
+    '_itable' keys (whole per-image tables the pipeline indexes itself,
+    training.solver.gather_batch) are replicated: their leading axis is
+    N_images, not rays, and need not divide the data axis."""
     sh = data_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    repl = replicate_sharding(mesh)
+    return {k: jax.device_put(v, repl if k.endswith("_itable") else sh)
+            for k, v in batch.items()}
 
 
 def pad_to_multiple(n: int, k: int) -> int:

@@ -158,6 +158,17 @@ def pp_render_ray_net(mesh: Mesh, params: dict, x, *, n_layers: int = 8,
     Bit-for-bit the same math as RenderRayNet.apply (f32): trunk via
     pipeline_trunk, heads dense. x: [N, pos_dim(+additional) .. dir_dim]."""
     p = params.get("params", params)
+    if pos_dim + dir_dim != x.shape[-1]:
+        raise ValueError(
+            f"pos_dim({pos_dim}) + dir_dim({dir_dim}) != x features "
+            f"({x.shape[-1]}) — for a conditioned net fold the additional "
+            "input width into pos_dim, or the slices silently overlap")
+    in_rows = np.asarray(p["positions_pose_input"]["kernel"]).shape[0]
+    if in_rows != pos_dim:
+        raise ValueError(
+            f"positions_pose_input kernel expects {in_rows} input rows but "
+            f"pos_dim={pos_dim} — fold any additional_input_dim prefix into "
+            "pos_dim")
     n_stages = int(mesh.shape[axis])
     kernels, biases, use_x = stack_trunk(p, n_layers, skips, pos_dim, width,
                                          n_stages=n_stages)

@@ -473,7 +473,24 @@ def build_pipeline(cfg: RenderConfig, models: Dict[str, Any],
             z_vals = batch["vs_z"]             # [R, S]
             dirs = batch["ray_direction"]      # normalized at dataset load
             samples = origins[:, None, :] + dirs[:, None, :] * z_vals[..., None]
-            goal_verts = batch["goal_verts"]   # [R, V, 3]
+            if "goal_verts" in batch:          # pre-gathered [R, V, 3]
+                goal_verts = batch["goal_verts"]
+            else:
+                # whole per-image mesh table ('_itable'): dedup over the
+                # batch's unique images when images_per_batch=K, so the big
+                # gather reads K meshes, not R — same trick as the dynamic
+                # family's _goal_verts_table
+                table = batch["goal_verts_itable"]     # [N_img, V, 3]
+                image_indices = batch["image_indices"].astype(jnp.int32)
+                K = cfg.images_per_batch
+                if K and K < table.shape[0]:
+                    uniq = jnp.unique(image_indices, size=K, fill_value=-1)
+                    ktab = jnp.take(table, jnp.maximum(uniq, 0), axis=0)
+                    ray_pos = jnp.argmax(
+                        image_indices[:, None] == uniq[None, :], axis=1)
+                    goal_verts = jnp.take(ktab, ray_pos, axis=0)
+                else:
+                    goal_verts = jnp.take(table, image_indices, axis=0)
             betas = jnp.asarray(extras["betas"], jnp.float32).reshape(-1)
             canonical = smpl_mod.smpl_forward(extras["smpl_model"], betas,
                                               jnp.zeros(69))

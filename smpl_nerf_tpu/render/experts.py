@@ -72,6 +72,57 @@ def expert_raw_fn(field: ExpertField, pos: jnp.ndarray,
     return ep.expert_apply(field.experts, _encode(field, pos, dirs), ids)
 
 
+def _route(field, pos: jnp.ndarray):
+    """Compact-aware routing: (ids, n_route) where ids in [0, n_route] and
+    n_route is the skip id. Works for ExpertField (skip = out-of-AABB) and
+    CompactExpertField (skip = out-of-AABB or empty cell via the remap)."""
+    E = field.grid ** 3
+    inside = jnp.all((pos >= field.aabb_min) & (pos <= field.aabb_max), -1)
+    vox = ep.voxel_expert_ids(pos, field.aabb_min, field.aabb_max, field.grid)
+    ids = jnp.where(inside, vox, E)
+    remap = getattr(field, "remap", None)
+    if remap is None:
+        return ids, E
+    return remap[ids], field.experts.w0.shape[0]
+
+
+def expert_raw_fn_tiled(field, pos: jnp.ndarray, dirs: jnp.ndarray,
+                        budget: int, tile: int = 256, compute_dtype=None):
+    """raw [N,4] via the sorted-tile grouped matmul (ep.sorted_tile_plan) —
+    the round-5 serving path. vs the bucketed form: no [E, capacity] dense
+    tensor (slots = real in-field samples + ≤tile-1 padding per touched
+    expert), weights gathered once per tile, and the POSITIONAL ENCODING runs
+    only on the padded stream (empty-space samples never get encoded at all —
+    on human scenes that alone cuts the encode work ~10×). Accepts an
+    ExpertField or a CompactExpertField (empty-space skipping via the remap).
+    Returns (raw [N,4], overflow [N])."""
+    ids, n_route = _route(field, pos)
+    plan = ep.sorted_tile_plan(ids, n_route, budget, tile)
+    x = _encode(field, pos[plan.tok], dirs[plan.tok])
+    out_slots = ep.tiles_apply(field.experts, x, plan,
+                               compute_dtype=compute_dtype)
+    return ep.plan_take(plan, out_slots), plan.overflow
+
+
+def render_rays_with_experts_tiled(field, origins: jnp.ndarray,
+                                   dirs: jnp.ndarray, z_vals: jnp.ndarray,
+                                   budget: int, tile: int = 256,
+                                   white_background: bool = False,
+                                   compute_dtype=None) -> tuple:
+    """Tiled-serving renderer (full or compact field). Returns
+    (RenderOutputs, n_overflow) — callers must check n_overflow == 0 (no
+    silent caps) and raise the budget otherwise."""
+    pos = origins[:, None, :] + z_vals[..., None] * dirs[:, None, :]
+    R, S = z_vals.shape
+    d_flat = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+    raw, overflow = expert_raw_fn_tiled(field, pos.reshape(-1, 3), d_flat,
+                                        budget, tile,
+                                        compute_dtype=compute_dtype)
+    outs = raw2outputs(raw.reshape(R, S, 4), z_vals, dirs,
+                       white_background=white_background)
+    return outs, overflow.sum()
+
+
 def expert_raw_fn_bucketed(field: ExpertField, pos: jnp.ndarray,
                            dirs: jnp.ndarray, capacity: int,
                            compute_dtype=None):
@@ -216,7 +267,14 @@ def grid_occupancy(raw_fn: Callable, aabb_min, aabb_max, grid: int,
     clear `sigma_thresh` raw density, for ANY field
     `raw_fn(pos [N,3], dirs [N,3]) -> raw [N,4]` (the teacher trunk or the
     distilled experts). Cell order is lexicographic (x*g + y)*g + z — the
-    same id layout as ep.voxel_expert_ids."""
+    same id layout as ep.voxel_expert_ids.
+
+    Probes with THREE spread directions and keeps the max sigma per point:
+    the teacher trunk's sigma is direction-independent by construction, but a
+    distilled expert concatenates the direction encoding into the same tiny
+    net, so its sigma can drift with view — a single-direction probe could
+    drop a cell whose density only clears the threshold from other
+    directions (hole in the compacted render)."""
     import numpy as np
     g, k = grid, samples_per_axis
     lo = np.asarray(aabb_min, np.float32)
@@ -228,12 +286,18 @@ def grid_occupancy(raw_fn: Callable, aabb_min, aabb_max, grid: int,
     off = (np.arange(k, dtype=np.float32) + 0.5) / k
     lattice = np.stack(np.meshgrid(off, off, off, indexing="ij"), -1).reshape(-1, 3)
     pts = ((corners[:, None, :] + lattice[None, :, :]) * cell + lo).reshape(-1, 3)
+    probe_dirs = np.float32([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0],
+                             [0.0, -0.7071068, -0.7071068]])
     sig = []
     probe = jax.jit(lambda p, d: raw_fn(p, d)[:, 3])
     for i in range(0, len(pts), chunk):
         p = jnp.asarray(pts[i:i + chunk])
-        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), p.shape)
-        sig.append(np.asarray(probe(p, d)))
+        s = None
+        for pd in probe_dirs:
+            d = jnp.broadcast_to(jnp.asarray(pd), p.shape)
+            si = np.asarray(probe(p, d))
+            s = si if s is None else np.maximum(s, si)
+        sig.append(s)
     sigma = np.concatenate(sig).reshape(g ** 3, k ** 3)
     return sigma.max(axis=1) > sigma_thresh
 
@@ -319,8 +383,9 @@ def render_rays_with_experts_compact(
     return outs, overflow.sum()
 
 
-def finetune_experts(field: ExpertField, origins, dirs, rgb, key, *,
-                     near: float, far: float, n_samples: int, capacity: int,
+def finetune_experts(field, origins, dirs, rgb, key, *,
+                     near: float, far: float, n_samples: int,
+                     capacity: int = 0, budget: int = 0, tile: int = 32,
                      n_steps: int = 1000, batch: int = 4096, lr: float = 5e-4,
                      white_background: bool = False):
     """KiloNeRF's second stage: photometric fine-tuning of the distilled
@@ -330,14 +395,23 @@ def finetune_experts(field: ExpertField, origins, dirs, rgb, key, *,
 
     origins/dirs/rgb are the full train-split ray arrays [N,3]; every step
     draws `batch` rays, stratified-samples `n_samples` uniform z bins, renders
-    through the bucketed serving path (differentiable: sort order is fixed
-    given the ids, gradients flow through the activation scatter/gather), and
+    through a serving path (differentiable: sort order is fixed given the
+    ids, gradients flow through the activation scatter/gather), and
     Adam-steps the experts on the pixel MSE. Overflowed samples render as
     empty space — their count is accumulated and returned (no silent caps;
-    size `capacity` so it stays 0).
+    size the cap so it stays 0).
+
+    Pass `budget` (> 0, a multiple of `tile`) to train through the
+    round-5 sorted-tile path — the fast form, and the one that accepts a
+    CompactExpertField so pruned fields fine-tune directly (KiloNeRF's
+    prune-then-finetune order). `capacity` (> 0) selects the legacy
+    bucketed path (ExpertField only). Exactly one must be set.
 
     Returns (field, final_loss, total_overflow).
     """
+    if bool(budget) == bool(capacity):
+        raise ValueError("set exactly one of budget (tiled) / capacity "
+                         "(bucketed)")
     origins = jnp.asarray(origins)
     dirs = jnp.asarray(dirs)
     rgb = jnp.asarray(rgb)
@@ -355,9 +429,14 @@ def finetune_experts(field: ExpertField, origins, dirs, rgb, key, *,
         z = lo[None] + step_z * jax.random.uniform(kz, (batch, n_samples))
 
         def loss_fn(ex):
-            outs, n_over = render_rays_with_experts_bucketed(
-                field._replace(experts=ex), o, d, z, capacity,
-                white_background=white_background)
+            if budget:
+                outs, n_over = render_rays_with_experts_tiled(
+                    field._replace(experts=ex), o, d, z, budget, tile,
+                    white_background=white_background)
+            else:
+                outs, n_over = render_rays_with_experts_bucketed(
+                    field._replace(experts=ex), o, d, z, capacity,
+                    white_background=white_background)
             return jnp.mean((outs.rgb - c) ** 2), n_over
 
         (loss, n_over), grads = jax.value_and_grad(loss_fn, has_aux=True)(experts)

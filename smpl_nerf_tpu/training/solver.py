@@ -138,9 +138,11 @@ def gather_batch_np(arrays: Dict[str, np.ndarray], idx: np.ndarray) -> dict:
     """Host-side (numpy) twin of gather_batch — multi-host batch assembly
     gathers rows on the host and ships only each process's slice to device."""
     batch = {k: np.take(v, idx, axis=0) for k, v in arrays.items()
-             if not k.endswith("_table")}
+             if not (k.endswith("_table") or k.endswith("_itable"))}
     for k, v in arrays.items():
-        if k.endswith("_table"):
+        if k.endswith("_itable"):
+            batch[k] = v            # whole per-image table, pipeline dedups
+        elif k.endswith("_table"):
             img = batch["image_indices"].astype(np.int32)
             batch[k[:-len("_table")]] = np.take(v, img, axis=0)
     return batch
@@ -153,11 +155,19 @@ def gather_batch(arrays: Dict[str, jnp.ndarray], idx) -> dict:
     [N_img, 69]); they are mapped through the gathered image_indices so the
     pipeline still sees a per-ray batch key ('human_pose' [R, 69]) without the
     dataset ever materializing per-ray duplicates in HBM.
+
+    Keys ending in '_itable' pass through UNGATHERED (the whole per-image
+    table): the pipeline indexes them itself, deduping over the batch's
+    unique images when images_per_batch is set — for big per-image payloads
+    (goal meshes, [N_img, 6890, 3]) the per-ray '_table' expansion would
+    gather ~R/K times more HBM than the size-K unique set needs.
     """
     batch = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()
-             if not k.endswith("_table")}
+             if not (k.endswith("_table") or k.endswith("_itable"))}
     for k, v in arrays.items():
-        if k.endswith("_table"):
+        if k.endswith("_itable"):
+            batch[k] = v            # whole per-image table, pipeline dedups
+        elif k.endswith("_table"):
             img = batch["image_indices"].astype(jnp.int32)
             batch[k[:-len("_table")]] = jnp.take(v, img, axis=0)
     return batch
@@ -338,7 +348,8 @@ class Solver:
             return optax.apply_updates(params, updates), opt_state, aux
 
         def gather_step_body(params, opt_state, arrays, idx, rng):
-            batch = {k: jax.lax.with_sharding_constraint(v, data_sh)
+            batch = {k: jax.lax.with_sharding_constraint(
+                        v, repl if k.endswith("_itable") else data_sh)
                      for k, v in gather_batch(arrays, idx).items()}
             return step_body(params, opt_state, batch, rng)
 
@@ -770,12 +781,17 @@ class Solver:
         if self.log_dir and densities:
             log_mod.vedo_data(self.log_dir, densities[0], samples[0], epoch=epoch)
 
-    def _check_batch_images(self, idx: np.ndarray, image_indices: np.ndarray):
+    def _check_batch_images(self, idx: np.ndarray, image_indices: np.ndarray,
+                            arrays=None):
         """Loud guard for images_per_batch: the in-step size-K jnp.unique would
         SILENTLY map overflow rays to the wrong image's SMPL vertices, so any
-        eval/render batch spanning more than K images must fail here instead."""
+        eval/render batch spanning more than K images must fail here instead.
+        Applies to the dynamic families and to vertex_sphere when its in-step
+        mesh table ('goal_verts_itable') is deduped the same way."""
         K = int(self.pipeline.cfg.images_per_batch or 0)
-        if not K or self.pipeline.cfg.model_type not in DYNAMIC_FAMILIES:
+        dedups = (self.pipeline.cfg.model_type in DYNAMIC_FAMILIES
+                  or (arrays is not None and "goal_verts_itable" in arrays))
+        if not K or not dedups:
             return
         n_img = int(image_indices.max()) + 1
         if K >= n_img:
@@ -827,7 +843,7 @@ class Solver:
             if n_real < bs:
                 idx = np.concatenate([idx, np.full(bs - n_real, idx[-1])])
             if img_idx_np is not None:
-                self._check_batch_images(idx, img_idx_np)
+                self._check_batch_images(idx, img_idx_np, val_arrays)
             mask = np.zeros(bs, np.float32)
             mask[:n_real] = 1.0
             batch = self._gather_batch(val_arrays, idx)
@@ -884,7 +900,7 @@ class Solver:
                     # inject image 0 into a dynamic-family batch
                     idx = np.concatenate([idx, np.full(pad, idx[-1])])
                 if img_idx_np is not None:
-                    self._check_batch_images(idx, img_idx_np)
+                    self._check_batch_images(idx, img_idx_np, val_arrays)
                 batch = self._gather_batch(arrays, idx)
                 if fn is not None:
                     rgb_fine = fn(eval_params, batch)

@@ -259,3 +259,102 @@ def test_occupancy_biased_distillation_runs_and_converges():
     err = np.sqrt(np.mean((np.asarray(ex.expert_raw_fn(field, pos, dirs))
                            - np.asarray(teacher_fn(pos, dirs))) ** 2))
     assert err < 0.35 * float(np.std(np.asarray(teacher_fn(pos, dirs))))
+
+
+def test_tiled_render_matches_bucketed_full_and_compact():
+    """Round-5 serving path: the sorted-tile render reproduces the bucketed
+    render exactly, for the full field (skip = out-of-AABB) AND the compact
+    field (skip also covers empty cells)."""
+    teacher_fn = _teacher()
+    field, _ = _distilled(teacher_fn)
+    E = field.grid ** 3
+    rng = np.random.RandomState(17)
+    R, S = 16, 24
+    origins = jnp.asarray(np.tile([[0.0, 0.0, -0.9]], (R, 1)).astype(np.float32))
+    d = rng.uniform(-0.3, 0.3, (R, 3)).astype(np.float32) + [0, 0, 1]
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = jnp.broadcast_to(jnp.linspace(0.05, 4.0, S), (R, S))  # exits the AABB
+
+    budget = ((R * S + E * 8) // 8) * 8
+    want, _ = ex.render_rays_with_experts_bucketed(field, origins, dirs, z,
+                                                   capacity=R * S)
+    got, n_over = ex.render_rays_with_experts_tiled(field, origins, dirs, z,
+                                                    budget, tile=8)
+    assert int(n_over) == 0
+    np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(want.rgb),
+                               atol=1e-5)
+
+    # compact field with a real occupancy mask: tiled == bucketed-compact
+    occ = ex.dilate_occupancy(ex.cell_occupancy(field, 2, 0.5), field.grid)
+    if not occ.any():
+        occ[0] = True
+    cfield = ex.compact_field(field, occ)
+    want_c, _ = ex.render_rays_with_experts_compact(cfield, origins, dirs, z,
+                                                    capacity=R * S)
+    got_c, n_over_c = ex.render_rays_with_experts_tiled(
+        cfield, origins, dirs, z, budget, tile=8)
+    assert int(n_over_c) == 0
+    np.testing.assert_allclose(np.asarray(got_c.rgb), np.asarray(want_c.rgb),
+                               atol=1e-5)
+
+
+def test_tiled_finetune_matches_bucketed_and_accepts_compact():
+    """finetune_experts through the tiled path is numerically IDENTICAL to
+    the bucketed path (same keys -> same trajectory), runs with zero
+    overflow, and a CompactExpertField fine-tunes directly
+    (prune-then-finetune). Seed 21 = the known-converging setup of
+    test_finetune_reduces_pixel_error."""
+    teacher_fn = _teacher()
+    field, _ = _distilled(teacher_fn)
+    E = field.grid ** 3
+    rng = np.random.RandomState(21)
+    R, S = 256, 16
+    origins = jnp.asarray(np.tile([[0.0, 0.0, -0.9]], (R, 1)).astype(np.float32))
+    d = rng.uniform(-0.4, 0.4, (R, 3)).astype(np.float32) + [0, 0, 1]
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = jnp.broadcast_to(jnp.linspace(0.05, 1.7, S), (R, S))
+    pos = origins[:, None, :] + z[..., None] * dirs[:, None, :]
+    d_flat = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+    raw_t = teacher_fn(pos.reshape(-1, 3), d_flat).reshape(R, S, 4)
+    gt_rgb = raw2outputs(raw_t, z, dirs).rgb
+    budget = ((R * S + E * 8) // 8) * 8
+
+    def pixel_mse(f):
+        outs, n_over = ex.render_rays_with_experts_tiled(
+            f, origins, dirs, z, budget, tile=8)
+        assert int(n_over) == 0
+        return float(jnp.mean((outs.rgb - gt_rgb) ** 2))
+
+    before = pixel_mse(field)
+    tuned, loss_t, n_over = ex.finetune_experts(
+        field, origins, dirs, gt_rgb, jax.random.PRNGKey(5),
+        near=0.05, far=1.7, n_samples=S, budget=budget, tile=8, n_steps=200,
+        batch=256, lr=3e-4)
+    assert n_over == 0
+    assert pixel_mse(tuned) < before
+    assert pixel_mse(field) == before      # donation hygiene
+
+    # exact trajectory parity with the legacy bucketed path (same keys)
+    tuned_b, loss_b, _ = ex.finetune_experts(
+        field, origins, dirs, gt_rgb, jax.random.PRNGKey(5),
+        near=0.05, far=1.7, n_samples=S, capacity=R * S, n_steps=200,
+        batch=256, lr=3e-4)
+    np.testing.assert_allclose(loss_t, loss_b, rtol=1e-6)
+    np.testing.assert_allclose(pixel_mse(tuned), pixel_mse(tuned_b),
+                               rtol=1e-6)
+
+    # compact field fine-tunes through the same path, identical trajectory
+    # when nothing is pruned
+    cfield = ex.compact_field(field, np.ones(E, bool))
+    tuned_c, loss_c, n_over_c = ex.finetune_experts(
+        cfield, origins, dirs, gt_rgb, jax.random.PRNGKey(5),
+        near=0.05, far=1.7, n_samples=S, budget=budget, tile=8, n_steps=200,
+        batch=256, lr=3e-4)
+    assert n_over_c == 0
+    np.testing.assert_allclose(loss_c, loss_t, rtol=1e-6)
+
+    import pytest
+    with pytest.raises(ValueError, match="exactly one"):
+        ex.finetune_experts(field, origins, dirs, gt_rgb,
+                            jax.random.PRNGKey(5), near=0.05, far=1.7,
+                            n_samples=S, n_steps=1, batch=8)

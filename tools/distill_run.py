@@ -53,14 +53,32 @@ from smpl_nerf_tpu.training import checkpoints
 from smpl_nerf_tpu.training.factory import build_models_and_params
 
 
-def build_teacher(run_dir: str):
-    """(teacher_fn, cfg, args) from a trained static-scene run dir."""
+APPEND_FAMILIES = ("append_smpl_params", "append_to_nerf")
+
+
+def build_teacher(run_dir: str, pose=None):
+    """(teacher_fn, cfg, args) from a trained run dir.
+
+    Static families (nerf/original_nerf) bake directly. The pose-conditioned
+    append families (reference append_smpl_params_pipeline.py /
+    append_to_nerf_pipeline.py) bake at ONE fixed `pose` vector: the
+    conditioning prefix is constant for a fixed pose, so the conditioned
+    trunk restricted to that pose IS a static field — the same per-pose
+    baking contract as render/fast.make_occupancy_renderer. Serving then
+    covers novel VIEWS at the baked pose (the reference's novel-view
+    inference path, inference.py:222-276)."""
     args, extras, _ = setup_from_run_dir(run_dir)
-    if args.model_type not in ("nerf", "original_nerf"):
+    static = args.model_type in ("nerf", "original_nerf")
+    append = args.model_type in APPEND_FAMILIES
+    if not (static or append):
         raise ValueError(
-            f"distillation bakes a static field; model_type={args.model_type} "
-            "is pose-conditioned (one grid per pose would be needed, like the "
-            "occupancy baker)")
+            f"distillation bakes a (per-pose) static field; model_type="
+            f"{args.model_type} is not supported — static nerf families bake "
+            f"directly, append families bake per pose; the warp families "
+            "would need the warp folded into the query (not implemented)")
+    if append and pose is None:
+        raise ValueError(f"{args.model_type} is pose-conditioned: pass "
+                         "--pose_image to pick the pose to bake")
     models, params, encoders = build_models_and_params(
         args, jax.random.PRNGKey(0), extras)
     params = checkpoints.load_run(run_dir, params)
@@ -68,8 +86,21 @@ def build_teacher(run_dir: str):
     run = _make_net_runner(cfg, models, encoders)
     model_key = "model_fine" if cfg.run_fine else "model_coarse"
 
+    prefix_row = None
+    if append:
+        pose = jnp.asarray(np.asarray(pose, np.float32))[None]   # [1, P]
+        if args.model_type == "append_to_nerf":
+            # two-joint conditioning, reference smpl_nerf_pipeline.py:28
+            pose = pose[:, (38, 41)]
+        pose_enc = encoders["human_pose"]
+        prefix_row = (pose_enc.encode(pose) if cfg.human_pose_encoding
+                      else pose)                                  # [1, Pf]
+
     def teacher_fn(pos, dirs):
-        raw = run(model_key, params, pos[:, None, :], dirs[:, None, :])
+        prefix = (None if prefix_row is None else jnp.broadcast_to(
+            prefix_row, (pos.shape[0], prefix_row.shape[-1])))
+        raw = run(model_key, params, pos[:, None, :], dirs[:, None, :],
+                  prefix=prefix)
         return raw.reshape(pos.shape[0], -1)
 
     return teacher_fn, cfg, args
@@ -101,6 +132,65 @@ def _image_rays(data, i):
     n = data.h * data.w
     sl = slice(i * n, (i + 1) * n)
     return data.origins[sl], data.directions[sl]
+
+
+def filter_images_by_pose(data, pose, tol=1e-5):
+    """Restrict a RayData split to the images whose human_pose matches `pose`
+    (the per-pose baking contract: a baked field only serves views AT its
+    pose). Returns the kept original image indices."""
+    if data.human_poses is None:
+        raise ValueError("dataset has no image_pose_map — cannot pose-filter")
+    keep = [i for i in range(data.num_images)
+            if np.allclose(data.human_poses[i], pose, atol=tol)]
+    if not keep:
+        raise ValueError("no images in this split match the baked pose")
+    n = data.h * data.w
+    sel = np.concatenate([np.arange(i * n, (i + 1) * n) for i in keep])
+    data.origins = data.origins[sel]
+    data.directions = data.directions[sel]
+    data.rgb = data.rgb[sel]
+    data.image_indices = np.repeat(np.arange(len(keep), dtype=np.int32), n)
+    data.human_poses = data.human_poses[keep]
+    data.num_images = len(keep)
+    return keep
+
+
+def _chunk_counts(data, aabb_min, aabb_max, grid, z, chunk, occupied=None):
+    """Yield per-expert in-AABB sample counts [E] for every chunk this render
+    will execute (host numpy). With `occupied` [E] bool, empty cells' samples
+    are dropped (they route to the skip id under ESS)."""
+    E = grid ** 3
+    z = np.asarray(z, np.float32)
+    for i in range(data.num_images):
+        o, d = _image_rays(data, i)
+        for lo in range(0, len(o), chunk):
+            pos = (o[lo:lo + chunk, None, :]
+                   + z[None, :, None] * d[lo:lo + chunk, None, :]).reshape(-1, 3)
+            inside = np.all((pos >= aabb_min) & (pos <= aabb_max), -1)
+            if not inside.any():
+                yield np.zeros(E, np.int64)
+                continue
+            u = (pos[inside] - aabb_min) / (aabb_max - aabb_min)
+            c = np.clip((u * grid).astype(np.int64), 0, grid - 1)
+            ids = (c[:, 0] * grid + c[:, 1]) * grid + c[:, 2]
+            counts = np.bincount(ids, minlength=E)
+            if occupied is not None:
+                counts = counts * np.asarray(occupied, bool)
+            yield counts
+
+
+def tiled_budget(data, aabb_min, aabb_max, grid, z, chunk, tile,
+                 occupied=None):
+    """Worst padded-slot count over every chunk for the sorted-tile serving
+    path: sum over touched experts of ceil(count/tile)*tile, +2% margin,
+    rounded to a tile multiple — sizes ep.sorted_tile_plan's static budget
+    with no silent drops."""
+    worst = 0
+    for counts in _chunk_counts(data, aabb_min, aabb_max, grid, z, chunk,
+                                occupied):
+        slots = int((-(-counts // tile) * tile).sum())
+        worst = max(worst, slots)
+    return int(np.ceil(max(worst, tile) * 1.02 / tile) * tile)
 
 
 def max_bucket_count(data, aabb_min, aabb_max, grid, z, chunk, occupied=None):
@@ -146,6 +236,11 @@ def main(argv=None):
     p.add_argument("--samples", type=int, default=192,
                    help="uniform z samples per ray for BOTH renders")
     p.add_argument("--chunk", type=int, default=4096, help="rays per chunk")
+    p.add_argument("--tile", type=int, default=256,
+                   help="sorted-tile size for the serving path")
+    p.add_argument("--also_bucketed", type=int, default=1,
+                   help="also TIME the legacy bucketed ESS path (round-4 "
+                        "head-to-head; quality is identical math)")
     p.add_argument("--images", type=int, default=0, help="cap val images (0=all)")
     p.add_argument("--time_reps", type=int, default=5)
     p.add_argument("--finetune_steps", type=int, default=0,
@@ -154,6 +249,9 @@ def main(argv=None):
     p.add_argument("--finetune_batch", type=int, default=4096)
     p.add_argument("--finetune_samples", type=int, default=96)
     p.add_argument("--finetune_lr", type=float, default=3e-4)
+    p.add_argument("--finetune_tile", type=int, default=32,
+                   help="sorted-tile size for fine-tune steps (small: "
+                        "training batches touch many cells sparsely)")
     p.add_argument("--train_dir", default=None,
                    help="train split for fine-tuning (default: "
                         "<dataset_dir>/../train)")
@@ -171,12 +269,22 @@ def main(argv=None):
                         "TEACHER's occupied cells (0 = uniform only)")
     p.add_argument("--sigma_thresh", type=float, default=5.0)
     p.add_argument("--probe_res", type=int, default=64)
+    p.add_argument("--pose_image", type=int, default=-1,
+                   help="append families: bake the field at the pose of this "
+                        "image of the dataset split (per-pose serving; the "
+                        "split is filtered to views AT that pose)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
-    teacher_fn, cfg, run_args = build_teacher(args.run_dir)
-    data = datasets.load_dataset(args.dataset_dir, "nerf", run_args)
+    data = datasets.load_dataset(args.dataset_dir, "nerf", None)
+    baked_pose = None
+    if args.pose_image >= 0:
+        baked_pose = np.asarray(data.human_poses[args.pose_image], np.float32)
+        kept = filter_images_by_pose(data, baked_pose)
+        print(f"pose-baked serving: pose of image {args.pose_image}, "
+              f"{len(kept)} same-pose views in this split: {kept}")
+    teacher_fn, cfg, run_args = build_teacher(args.run_dir, pose=baked_pose)
     if args.images:
         n = args.images * data.h * data.w
         data.origins = data.origins[:n]
@@ -217,11 +325,11 @@ def main(argv=None):
 
     S = args.samples
     z_row = np.linspace(cfg.near, cfg.far, S, dtype=np.float32)
-    capacity = max_bucket_count(data, np.asarray(aabb_min), np.asarray(aabb_max),
-                                args.grid, z_row, args.chunk)
-    capacity = int(np.ceil(capacity * 1.02 / 64) * 64)
-    print(f"bucket capacity = {capacity} "
-          f"(chunk {args.chunk} rays x {S} samples)")
+    budget_full = tiled_budget(data, np.asarray(aabb_min),
+                               np.asarray(aabb_max), args.grid, z_row,
+                               args.chunk, args.tile)
+    print(f"tiled budget (full field) = {budget_full} slots of "
+          f"{args.chunk * S} samples/chunk (tile {args.tile})")
 
     white = bool(getattr(run_args, "white_background", 0))
     # symmetric serving dtype: the teacher's nets were built with the run's
@@ -243,8 +351,8 @@ def main(argv=None):
     @jax.jit
     def render_expert(o, d, experts):
         z = jnp.broadcast_to(jnp.asarray(z_row), (o.shape[0], S))
-        outs, n_over = ex.render_rays_with_experts_bucketed(
-            field._replace(experts=experts), o, d, z, capacity,
+        outs, n_over = ex.render_rays_with_experts_tiled(
+            field._replace(experts=experts), o, d, z, budget_full, args.tile,
             white_background=white, compute_dtype=serve_dtype)
         return outs.rgb, n_over
 
@@ -269,8 +377,8 @@ def main(argv=None):
         print(f"— {tag} render —")
         imgs, n_over = render_split(render_expert, experts)
         if n_over:
-            raise RuntimeError(f"{n_over} samples overflowed capacity "
-                               f"{capacity} — raise capacity")
+            raise RuntimeError(f"{n_over} samples overflowed the tiled "
+                               f"budget {budget_full} — raise the budget")
         scores = print_scores(imgs, truths)
         print(f"— {tag} gap vs teacher (same integration) —")
         gap = print_scores(imgs, teach_imgs)
@@ -291,11 +399,16 @@ def main(argv=None):
         train_dir = args.train_dir or os.path.join(
             os.path.dirname(args.dataset_dir.rstrip("/")), "train")
         tdata = datasets.load_dataset(train_dir, "nerf", run_args)
-        # capacity for random fine-tune batches: probe a few in numpy
+        if baked_pose is not None:
+            kept_t = filter_images_by_pose(tdata, baked_pose)
+            print(f"fine-tune restricted to {len(kept_t)} same-pose train "
+                  f"views")
+        # tiled budget for random fine-tune batches: probe a few in numpy
         rng = np.random.RandomState(1)
         zmid = np.linspace(cfg.near, cfg.far, args.finetune_samples,
                            dtype=np.float32)
-        worst = 0
+        tl = args.finetune_tile
+        worst = tl
         E = args.grid ** 3
         for _ in range(16):
             idx = rng.randint(0, tdata.num_rays, args.finetune_batch)
@@ -307,24 +420,25 @@ def main(argv=None):
             u = (pos[inside] - aabb_min) / (aabb_max - aabb_min)
             c = np.clip((u * args.grid).astype(np.int64), 0, args.grid - 1)
             ids = (c[:, 0] * args.grid + c[:, 1]) * args.grid + c[:, 2]
-            worst = max(worst, int(np.bincount(ids, minlength=E).max()))
-        ft_cap = int(np.ceil(worst * 1.5 / 64) * 64)
+            counts = np.bincount(ids, minlength=E)
+            worst = max(worst, int((-(-counts // tl) * tl).sum()))
+        ft_budget = int(np.ceil(worst * 1.25 / tl) * tl)
         print(f"fine-tuning {args.finetune_steps} steps, batch "
               f"{args.finetune_batch} x {args.finetune_samples} samples, "
-              f"capacity {ft_cap}")
+              f"tiled budget {ft_budget} (tile {tl})")
         t0 = time.time()
         field, ft_loss, ft_over = ex.finetune_experts(
             field, tdata.origins, tdata.directions, tdata.rgb,
             jax.random.PRNGKey(args.seed + 1), near=cfg.near, far=cfg.far,
-            n_samples=args.finetune_samples, capacity=ft_cap,
+            n_samples=args.finetune_samples, budget=ft_budget, tile=tl,
             n_steps=args.finetune_steps, batch=args.finetune_batch,
             lr=args.finetune_lr, white_background=white)
         ft_s = time.time() - t0
         print(f"fine-tuned in {ft_s:.1f}s, final pixel mse {ft_loss:.6f}, "
               f"overflowed samples {ft_over}")
         if ft_over:
-            print(f"WARNING: {ft_over} fine-tune samples overflowed capacity "
-                  f"{ft_cap} and rendered as empty space")
+            print(f"WARNING: {ft_over} fine-tune samples overflowed the "
+                  f"tiled budget {ft_budget} and rendered as empty space")
         np.savez(os.path.join(args.out_dir, "field_ft.npz"),
                  **{k: np.asarray(v) for k, v in field.experts._asdict().items()},
                  aabb_min=np.asarray(aabb_min), aabb_max=np.asarray(aabb_max),
@@ -344,35 +458,56 @@ def main(argv=None):
             ex.cell_occupancy(field, args.ess_probe, args.ess_thresh),
             args.grid)
         cfield = ex.compact_field(field, occ)
-        ess_cap = max_bucket_count(data, np.asarray(aabb_min),
-                                   np.asarray(aabb_max), args.grid, z_row,
-                                   args.chunk, occupied=occ)
-        ess_cap = int(np.ceil(max(ess_cap, 1) * 1.02 / 64) * 64)
+        budget_ess = tiled_budget(data, np.asarray(aabb_min),
+                                  np.asarray(aabb_max), args.grid, z_row,
+                                  args.chunk, args.tile, occupied=occ)
         n_occ = int(occ.sum())
         print(f"ESS: {n_occ}/{args.grid ** 3} cells occupied "
-              f"({100 * n_occ / args.grid ** 3:.1f}%), capacity {ess_cap}")
+              f"({100 * n_occ / args.grid ** 3:.1f}%), tiled budget "
+              f"{budget_ess}")
 
         @jax.jit
         def render_ess(o, d, experts_remap):
             experts, remap = experts_remap
             z = jnp.broadcast_to(jnp.asarray(z_row), (o.shape[0], S))
-            outs, n_over = ex.render_rays_with_experts_compact(
+            outs, n_over = ex.render_rays_with_experts_tiled(
                 cfield._replace(experts=experts, remap=remap), o, d, z,
-                ess_cap, white_background=white, compute_dtype=serve_dtype)
+                budget_ess, args.tile, white_background=white,
+                compute_dtype=serve_dtype)
             return outs.rgb, n_over
 
         ess_scores, ess_gap = None, None
-        print("— ESS render —")
+        print("— ESS render (tiled) —")
         imgs, n_over = render_split(render_ess, (cfield.experts, cfield.remap))
         if n_over:
-            raise RuntimeError(f"{n_over} samples overflowed ESS capacity "
-                               f"{ess_cap}")
+            raise RuntimeError(f"{n_over} samples overflowed the ESS tiled "
+                               f"budget {budget_ess}")
         ess_scores = print_scores(imgs, truths)
         print("— ESS gap vs teacher (same integration) —")
         ess_gap = print_scores(imgs, teach_imgs)
         ess_meta = {"occupied_cells": n_occ, "total_cells": args.grid ** 3,
-                    "capacity": ess_cap, "thresh": args.ess_thresh,
+                    "budget": budget_ess, "tile": args.tile,
+                    "thresh": args.ess_thresh,
                     "scores": ess_scores, "gap": ess_gap}
+
+        # round-4 head-to-head: the legacy global-capacity bucketed ESS path
+        # (identical math, so latency-only)
+        render_ess_bucketed = None
+        if args.also_bucketed:
+            ess_cap = max_bucket_count(data, np.asarray(aabb_min),
+                                       np.asarray(aabb_max), args.grid, z_row,
+                                       args.chunk, occupied=occ)
+            ess_cap = int(np.ceil(max(ess_cap, 1) * 1.02 / 64) * 64)
+
+            @jax.jit
+            def render_ess_bucketed(o, d, experts_remap):
+                experts, remap = experts_remap
+                z = jnp.broadcast_to(jnp.asarray(z_row), (o.shape[0], S))
+                outs, n_over = ex.render_rays_with_experts_compact(
+                    cfield._replace(experts=experts, remap=remap), o, d, z,
+                    ess_cap, white_background=white,
+                    compute_dtype=serve_dtype)
+                return outs.rgb, n_over
 
     # latency, one full image through the same chunking, best-of-N; the sync
     # is the np.asarray round-trip inside render_split-style loops
@@ -392,16 +527,26 @@ def main(argv=None):
     t_expert = time_image(render_expert, field.experts)
     t_ess = (time_image(render_ess, (cfield.experts, cfield.remap))
              if ess_meta else None)
+    t_ess_bucketed = (time_image(render_ess_bucketed,
+                                 (cfield.experts, cfield.remap))
+                      if ess_meta and render_ess_bucketed is not None
+                      else None)
     print(f"render latency ({data.h}x{data.w}, {S} samples/ray, best of "
-          f"{args.time_reps}): teacher {t_teacher * 1e3:.1f} ms, distilled "
-          f"{t_expert * 1e3:.1f} ms ({t_teacher / t_expert:.1f}x)"
-          + (f", ESS {t_ess * 1e3:.1f} ms ({t_teacher / t_ess:.1f}x)"
-             if t_ess else ""))
+          f"{args.time_reps}): teacher {t_teacher * 1e3:.1f} ms, "
+          f"tiled {t_expert * 1e3:.1f} ms ({t_teacher / t_expert:.1f}x)"
+          + (f", ESS-tiled {t_ess * 1e3:.1f} ms ({t_teacher / t_ess:.1f}x)"
+             if t_ess else "")
+          + (f", ESS-bucketed {t_ess_bucketed * 1e3:.1f} ms"
+             if t_ess_bucketed else ""))
 
     out = {
         "run_dir": args.run_dir, "dataset_dir": args.dataset_dir,
         "grid": args.grid, "hidden": args.hidden, "steps": args.steps,
-        "samples": S, "chunk": args.chunk, "capacity": capacity,
+        "samples": S, "chunk": args.chunk,
+        "tile": args.tile, "budget_full": budget_full,
+        "model_type": run_args.model_type,
+        "pose_image": args.pose_image if baked_pose is not None else None,
+        "pose_views_scored": data.num_images,
         "distill_bias": args.distill_bias,
         "serve_dtype": "bfloat16" if serve_dtype is not None else "float32",
         "distill_seconds": round(distill_s, 1),
@@ -409,11 +554,13 @@ def main(argv=None):
         "teacher": teacher_scores, "distilled": dist_scores,
         "distill_gap": gap_scores, "finetune": ft_meta, "ess": ess_meta,
         "latency_ms": {"teacher": round(t_teacher * 1e3, 2),
-                       "distilled": round(t_expert * 1e3, 2),
+                       "tiled": round(t_expert * 1e3, 2),
                        "speedup": round(t_teacher / t_expert, 2),
-                       **({"ess": round(t_ess * 1e3, 2),
+                       **({"ess_tiled": round(t_ess * 1e3, 2),
                            "ess_speedup": round(t_teacher / t_ess, 2)}
-                          if t_ess else {})},
+                          if t_ess else {}),
+                       **({"ess_bucketed": round(t_ess_bucketed * 1e3, 2)}
+                          if t_ess_bucketed else {})},
     }
     with open(os.path.join(args.out_dir, "scores.json"), "w") as fh:
         json.dump(out, fh, indent=1)
