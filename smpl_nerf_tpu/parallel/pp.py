@@ -163,7 +163,9 @@ def pp_render_ray_net(mesh: Mesh, params: dict, x, *, n_layers: int = 8,
             f"pos_dim({pos_dim}) + dir_dim({dir_dim}) != x features "
             f"({x.shape[-1]}) — for a conditioned net fold the additional "
             "input width into pos_dim, or the slices silently overlap")
-    in_rows = np.asarray(p["positions_pose_input"]["kernel"]).shape[0]
+    # .shape is static even on tracers — never np.asarray params here (this
+    # runs under jax.grad in tests; materializing a tracer raises)
+    in_rows = p["positions_pose_input"]["kernel"].shape[0]
     if in_rows != pos_dim:
         raise ValueError(
             f"positions_pose_input kernel expects {in_rows} input rows but "
