@@ -52,13 +52,17 @@ class ExpertField(NamedTuple):
 def _encode(field: ExpertField, pos, dirs):
     pe_p = PositionalEncoder(field.l_pos, True)
     pe_d = PositionalEncoder(field.l_dir, True)
+    return jnp.concatenate([pe_p.encode(_local_coords(field, pos)),
+                            pe_d.encode(dirs)], -1)
+
+
+def _local_coords(field, pos):
     # KiloNeRF-style CELL-LOCAL coordinates: each expert sees its own cell
     # mapped to [0,1)^3, so the PE frequencies resolve intra-cell detail
     # instead of being spent on locating the cell (which the routing does)
     u = (pos - field.aabb_min) / (field.aabb_max - field.aabb_min)
-    local = u * field.grid - jnp.floor(
+    return u * field.grid - jnp.floor(
         jnp.clip(u * field.grid, 0, field.grid - 1e-4))
-    return jnp.concatenate([pe_p.encode(local), pe_d.encode(dirs)], -1)
 
 
 def encoded_dim(l_pos: int, l_dir: int) -> int:
@@ -87,7 +91,8 @@ def _route(field, pos: jnp.ndarray):
 
 
 def expert_raw_fn_tiled(field, pos: jnp.ndarray, dirs: jnp.ndarray,
-                        budget: int, tile: int = 256, compute_dtype=None):
+                        budget: int, tile: int = 256, compute_dtype=None,
+                        use_kernel: bool = False):
     """raw [N,4] via the sorted-tile grouped matmul (ep.sorted_tile_plan) —
     the round-5 serving path. vs the bucketed form: no [E, capacity] dense
     tensor (slots = real in-field samples + ≤tile-1 padding per touched
@@ -98,9 +103,20 @@ def expert_raw_fn_tiled(field, pos: jnp.ndarray, dirs: jnp.ndarray,
     Returns (raw [N,4], overflow [N])."""
     ids, n_route = _route(field, pos)
     plan = ep.sorted_tile_plan(ids, n_route, budget, tile)
-    x = _encode(field, pos[plan.tok], dirs[plan.tok])
-    out_slots = ep.tiles_apply(field.experts, x, plan,
-                               compute_dtype=compute_dtype)
+    if use_kernel:
+        # fused Pallas path: encode + both expert layers in one kernel, the
+        # tile's weight row read straight from HBM via a scalar-prefetched
+        # index map (ops/expert_tiles_pallas.py)
+        from smpl_nerf_tpu.ops.expert_tiles_pallas import expert_tiles_forward
+        out_slots = expert_tiles_forward(
+            field.experts, _local_coords(field, pos[plan.tok]),
+            dirs[plan.tok], plan.valid, plan.tile_expert,
+            l_pos=field.l_pos, l_dir=field.l_dir, tile=tile,
+            compute_dtype=compute_dtype)
+    else:
+        x = _encode(field, pos[plan.tok], dirs[plan.tok])
+        out_slots = ep.tiles_apply(field.experts, x, plan,
+                                   compute_dtype=compute_dtype)
     return ep.plan_take(plan, out_slots), plan.overflow
 
 
@@ -108,7 +124,8 @@ def render_rays_with_experts_tiled(field, origins: jnp.ndarray,
                                    dirs: jnp.ndarray, z_vals: jnp.ndarray,
                                    budget: int, tile: int = 256,
                                    white_background: bool = False,
-                                   compute_dtype=None) -> tuple:
+                                   compute_dtype=None,
+                                   use_kernel: bool = False) -> tuple:
     """Tiled-serving renderer (full or compact field). Returns
     (RenderOutputs, n_overflow) — callers must check n_overflow == 0 (no
     silent caps) and raise the budget otherwise."""
@@ -117,7 +134,8 @@ def render_rays_with_experts_tiled(field, origins: jnp.ndarray,
     d_flat = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
     raw, overflow = expert_raw_fn_tiled(field, pos.reshape(-1, 3), d_flat,
                                         budget, tile,
-                                        compute_dtype=compute_dtype)
+                                        compute_dtype=compute_dtype,
+                                        use_kernel=use_kernel)
     outs = raw2outputs(raw.reshape(R, S, 4), z_vals, dirs,
                        white_background=white_background)
     return outs, overflow.sum()

@@ -490,6 +490,35 @@ def main(argv=None):
                     "thresh": args.ess_thresh,
                     "scores": ess_scores, "gap": ess_gap}
 
+        # fused Pallas serving kernel (ops/expert_tiles_pallas.py): same plan,
+        # encode+MLP in one kernel, weights read via scalar-prefetched index
+        # maps. Oracle-equal in tests; here validated on ONE chunk on the real
+        # backend (Mosaic lowering differs from interpret) then timed.
+        render_ess_kernel = None
+        try:
+            @jax.jit
+            def render_ess_kernel(o, d, experts_remap):
+                experts, remap = experts_remap
+                z = jnp.broadcast_to(jnp.asarray(z_row), (o.shape[0], S))
+                outs, n_over = ex.render_rays_with_experts_tiled(
+                    cfield._replace(experts=experts, remap=remap), o, d, z,
+                    budget_ess, args.tile, white_background=white,
+                    compute_dtype=serve_dtype, use_kernel=True)
+                return outs.rgb, n_over
+
+            o0, d0 = _image_rays(data, 0)
+            ch = (jnp.asarray(o0[:args.chunk]), jnp.asarray(d0[:args.chunk]))
+            rk, _ = render_ess_kernel(*ch, (cfield.experts, cfield.remap))
+            rj, _ = render_ess(*ch, (cfield.experts, cfield.remap))
+            err = float(jnp.max(jnp.abs(rk - rj)))
+            if err > 5e-2:
+                raise RuntimeError(f"kernel/jnp rgb mismatch {err:.2e}")
+            print(f"fused-kernel ESS path validated on-backend "
+                  f"(max |Δrgb| {err:.1e})")
+        except Exception as e:  # lowering/validation failure -> skip, loudly
+            print(f"fused-kernel ESS path SKIPPED: {e}")
+            render_ess_kernel = None
+
         # round-4 head-to-head: the legacy global-capacity bucketed ESS path
         # (identical math, so latency-only)
         render_ess_bucketed = None
@@ -527,6 +556,9 @@ def main(argv=None):
     t_expert = time_image(render_expert, field.experts)
     t_ess = (time_image(render_ess, (cfield.experts, cfield.remap))
              if ess_meta else None)
+    t_ess_kernel = (time_image(render_ess_kernel,
+                               (cfield.experts, cfield.remap))
+                    if ess_meta and render_ess_kernel is not None else None)
     t_ess_bucketed = (time_image(render_ess_bucketed,
                                  (cfield.experts, cfield.remap))
                       if ess_meta and render_ess_bucketed is not None
@@ -536,6 +568,8 @@ def main(argv=None):
           f"tiled {t_expert * 1e3:.1f} ms ({t_teacher / t_expert:.1f}x)"
           + (f", ESS-tiled {t_ess * 1e3:.1f} ms ({t_teacher / t_ess:.1f}x)"
              if t_ess else "")
+          + (f", ESS-fused-kernel {t_ess_kernel * 1e3:.1f} ms "
+             f"({t_teacher / t_ess_kernel:.1f}x)" if t_ess_kernel else "")
           + (f", ESS-bucketed {t_ess_bucketed * 1e3:.1f} ms"
              if t_ess_bucketed else ""))
 
@@ -559,6 +593,10 @@ def main(argv=None):
                        **({"ess_tiled": round(t_ess * 1e3, 2),
                            "ess_speedup": round(t_teacher / t_ess, 2)}
                           if t_ess else {}),
+                       **({"ess_fused_kernel": round(t_ess_kernel * 1e3, 2),
+                           "ess_fused_speedup":
+                               round(t_teacher / t_ess_kernel, 2)}
+                          if t_ess_kernel else {}),
                        **({"ess_bucketed": round(t_ess_bucketed * 1e3, 2)}
                           if t_ess_bucketed else {})},
     }
