@@ -255,9 +255,13 @@ def distill_experts(teacher_fn: Callable, aabb_min, aabb_max, grid: int,
         return optax.apply_updates(experts, updates), opt_state, loss
 
     loss = jnp.inf
+    hb = max(1, n_steps // 20)  # heartbeat: long fits must not look hung
     for i in range(n_steps):
         k_data, sub = jax.random.split(k_data)
         experts, opt_state, loss = step(experts, opt_state, sub)
+        if (i + 1) % hb == 0 or i + 1 == n_steps:
+            print(f"  distill step {i + 1}/{n_steps} nmse {float(loss):.4f}",
+                  flush=True)
     return field._replace(experts=experts), float(loss)
 
 
@@ -468,10 +472,14 @@ def finetune_experts(field, origins, dirs, rgb, key, *,
     # the first step.
     experts, loss = jax.tree.map(jnp.array, field.experts), jnp.inf
     total_over = jnp.zeros((), jnp.int32)
+    hb = max(1, n_steps // 20)  # heartbeat: long fits must not look hung
     for i in range(n_steps):
         key, sub = jax.random.split(key)
         experts, opt_state, total_over, loss = train_step(
             experts, opt_state, total_over, sub)
+        if (i + 1) % hb == 0 or i + 1 == n_steps:
+            print(f"  finetune step {i + 1}/{n_steps} mse {float(loss):.6f}",
+                  flush=True)
     return field._replace(experts=experts), float(loss), int(total_over)
 
 
