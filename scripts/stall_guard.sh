@@ -6,14 +6,16 @@
 # GROUP is killed (numeric pids only — never pattern-kill) and the guard
 # exits 124, so a supervising retry loop treats it like a timeout.
 #
-# Why: the axon TPU tunnel can hang a run indefinitely (~0% CPU, no output);
+# Why: the axon TPU tunnel can hang a run indefinitely (~0% CPU, no output,
+# blocked in futex_do_wait on a remote compile that never returns);
 # round-4/5 lost 45+ minute slices waiting on the stage `timeout` to fire.
-# Training prints per-epoch lines every ~2-3 min and remote compiles finish
-# well under 15 min with a warm cache, so 1200 s of total silence means hung.
+# PYTHONUNBUFFERED: the child's stdout goes to a pipe, and python would
+# block-buffer it — heartbeat prints must hit the log immediately or a
+# HEALTHY long fit looks hung.
 set -u
 STALL=$1; shift
 LOG=$(mktemp /tmp/stall_guard.XXXXXX.log)
-setsid "$@" >"$LOG" 2>&1 &
+PYTHONUNBUFFERED=1 setsid "$@" >"$LOG" 2>&1 &
 PID=$!
 tail -f "$LOG" &
 TAIL=$!
@@ -40,6 +42,7 @@ while true; do
   fi
   sleep 20
 done
+sleep 1   # let tail flush the final lines
 kill "$TAIL" 2>/dev/null
 rm -f "$LOG"
 exit $STATUS
