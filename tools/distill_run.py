@@ -48,6 +48,7 @@ from smpl_nerf_tpu.core.integrate import raw2outputs
 from smpl_nerf_tpu.data import datasets
 from smpl_nerf_tpu.evaluation import print_scores
 from smpl_nerf_tpu.pipelines import RenderConfig, _make_net_runner
+from smpl_nerf_tpu.parallel import ep
 from smpl_nerf_tpu.render import experts as ex
 from smpl_nerf_tpu.training import checkpoints
 from smpl_nerf_tpu.training.factory import build_models_and_params
@@ -309,19 +310,44 @@ def main(argv=None):
               f"{int(occ_teacher.sum())}/{args.grid ** 3} cells — "
               f"{args.distill_bias:.0%} of distill samples biased there")
 
+    def _load_field(path):
+        """Resume a saved field if its geometry matches this invocation —
+        tunnel flaps kill the stage mid-run; a 20k-step fit must not redo."""
+        if not os.path.exists(path):
+            return None
+        z = np.load(path)
+        if (int(z["grid"]) != args.grid or int(z["l_pos"]) != args.l_pos
+                or int(z["l_dir"]) != args.l_dir
+                or z["w0"].shape[2] != args.hidden
+                or not np.allclose(z["aabb_min"], np.asarray(aabb_min), atol=1e-4)
+                or not np.allclose(z["aabb_max"], np.asarray(aabb_max), atol=1e-4)):
+            print(f"saved field {path} does not match this run — refitting")
+            return None
+        experts = ep.ExpertMLP(*(jnp.asarray(z[k])
+                                 for k in ("w0", "b0", "w1", "b1")))
+        print(f"resumed field from {path}")
+        return ex.ExpertField(experts, jnp.asarray(aabb_min),
+                              jnp.asarray(aabb_max), args.grid,
+                              args.l_pos, args.l_dir)
+
     t0 = time.time()
-    field, loss = ex.distill_experts(
-        teacher_fn, aabb_min, aabb_max, args.grid, jax.random.PRNGKey(args.seed),
-        hidden=args.hidden, l_pos=args.l_pos, l_dir=args.l_dir,
-        n_steps=args.steps, batch=args.batch, lr=args.lr,
-        occupied=occ_teacher, bias_frac=args.distill_bias)
-    distill_s = time.time() - t0
-    print(f"distilled grid={args.grid}^3 hidden={args.hidden} in "
-          f"{distill_s:.1f}s, final normalized mse {loss:.4f}")
-    np.savez(os.path.join(args.out_dir, "field.npz"),
-             **{k: np.asarray(v) for k, v in field.experts._asdict().items()},
-             aabb_min=np.asarray(aabb_min), aabb_max=np.asarray(aabb_max),
-             grid=args.grid, l_pos=args.l_pos, l_dir=args.l_dir)
+    field = _load_field(os.path.join(args.out_dir, "field.npz"))
+    loss = float("nan")
+    if field is None:
+        field, loss = ex.distill_experts(
+            teacher_fn, aabb_min, aabb_max, args.grid, jax.random.PRNGKey(args.seed),
+            hidden=args.hidden, l_pos=args.l_pos, l_dir=args.l_dir,
+            n_steps=args.steps, batch=args.batch, lr=args.lr,
+            occupied=occ_teacher, bias_frac=args.distill_bias)
+        distill_s = time.time() - t0
+        print(f"distilled grid={args.grid}^3 hidden={args.hidden} in "
+              f"{distill_s:.1f}s, final normalized mse {loss:.4f}")
+        np.savez(os.path.join(args.out_dir, "field.npz"),
+                 **{k: np.asarray(v) for k, v in field.experts._asdict().items()},
+                 aabb_min=np.asarray(aabb_min), aabb_max=np.asarray(aabb_max),
+                 grid=args.grid, l_pos=args.l_pos, l_dir=args.l_dir)
+    else:
+        distill_s = 0.0
 
     S = args.samples
     z_row = np.linspace(cfg.near, cfg.far, S, dtype=np.float32)
@@ -395,7 +421,15 @@ def main(argv=None):
     # re-score — the distilled field is the init, fine-tuning recovers the
     # quality the sampled-regression objective leaves behind
     ft_meta = None
-    if args.finetune_steps > 0:
+    ft_resumed = _load_field(os.path.join(args.out_dir, "field_ft.npz"))
+    if ft_resumed is not None and args.finetune_steps > 0:
+        field = ft_resumed
+        ft_scores, ft_gap = score_experts(
+            "fine-tuned (resumed)", field.experts, truths, teach_imgs)
+        ft_meta = {"steps": args.finetune_steps, "seconds": 0.0,
+                   "resumed": True, "final_pixel_mse": None, "overflow": 0,
+                   "scores": ft_scores, "gap": ft_gap}
+    elif args.finetune_steps > 0:
         train_dir = args.train_dir or os.path.join(
             os.path.dirname(args.dataset_dir.rstrip("/")), "train")
         tdata = datasets.load_dataset(train_dir, "nerf", run_args)
