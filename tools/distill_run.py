@@ -244,6 +244,11 @@ def main(argv=None):
                         "head-to-head; quality is identical math)")
     p.add_argument("--images", type=int, default=0, help="cap val images (0=all)")
     p.add_argument("--time_reps", type=int, default=5)
+    p.add_argument("--time_tiles", default="64,128,512",
+                   help="comma list of extra tile sizes to TIME the ESS "
+                        "serving path at (quality renders stay at --tile; "
+                        "smaller tiles cut the per-touched-expert padding, "
+                        "bigger ones amortize weight reads; '' disables)")
     p.add_argument("--finetune_steps", type=int, default=0,
                    help="KiloNeRF stage 2: photometric fine-tuning steps on "
                         "the train split (0 = distillation only)")
@@ -590,6 +595,28 @@ def main(argv=None):
     t_expert = time_image(render_expert, field.experts)
     t_ess = (time_image(render_ess, (cfield.experts, cfield.remap))
              if ess_meta else None)
+    tile_sweep = {}
+    if ess_meta and args.time_tiles:
+        for tl2 in [int(t) for t in args.time_tiles.split(",") if t]:
+            if tl2 == args.tile:
+                continue
+            b2 = tiled_budget(data, np.asarray(aabb_min),
+                              np.asarray(aabb_max), args.grid, z_row,
+                              args.chunk, tl2, occupied=occ)
+
+            @jax.jit
+            def render_t2(o, d, experts_remap, b2=b2, tl2=tl2):
+                experts, remap = experts_remap
+                z = jnp.broadcast_to(jnp.asarray(z_row), (o.shape[0], S))
+                outs, n_over = ex.render_rays_with_experts_tiled(
+                    cfield._replace(experts=experts, remap=remap), o, d, z,
+                    b2, tl2, white_background=white,
+                    compute_dtype=serve_dtype)
+                return outs.rgb, n_over
+
+            tt = time_image(render_t2, (cfield.experts, cfield.remap))
+            tile_sweep[str(tl2)] = {"budget": b2, "ms": round(tt * 1e3, 2)}
+            print(f"  ESS tile={tl2}: budget {b2}, {tt * 1e3:.1f} ms")
     t_ess_kernel = (time_image(render_ess_kernel,
                                (cfield.experts, cfield.remap))
                     if ess_meta and render_ess_kernel is not None else None)
@@ -632,7 +659,9 @@ def main(argv=None):
                                round(t_teacher / t_ess_kernel, 2)}
                           if t_ess_kernel else {}),
                        **({"ess_bucketed": round(t_ess_bucketed * 1e3, 2)}
-                          if t_ess_bucketed else {})},
+                          if t_ess_bucketed else {}),
+                       **({"ess_tile_sweep": tile_sweep}
+                          if tile_sweep else {})},
     }
     with open(os.path.join(args.out_dir, "scores.json"), "w") as fh:
         json.dump(out, fh, indent=1)
