@@ -90,6 +90,7 @@ stage_data_walking () {
 train_stage () {  # $1 = name, $2 = dataset dir, $3 = target epochs,
                   # $4 = timeout, rest = train flags
   local NAME=$1 DS=$2 TARGET=$3 TMO=$4; shift 4
+  [ "${1:-}" = "--" ] && shift  # tolerate a visual separator; train.py rejects a bare --
   local RUN RESUME DONE LEFT
   RUN=$(for d in $(ls -dt runs/*${NAME}* 2>/dev/null); do
           [ -f "$d/train_state.npz" ] && { echo "$d"; break; }; done)
@@ -183,6 +184,31 @@ stage_distill_static () {
   commit_artifacts distill_static "$OUT/scores.json" "$OUT/distill.log"
 }
 
+# ---------- 3b. round-5 serving re-measure (culled path + kernel fix +
+# phase-2 finetune) — resumes the saved fields, so it only pays for the
+# finetune2 steps, the re-scores, and the latency timings ----------
+
+stage_distill_remeasure () {
+  [ -f artifacts/round5/distill_static_v2/scores.json ] && return 0
+  local TRUN
+  TRUN=$(ls -dt runs/*canonical_nerf_256 2>/dev/null | head -1)
+  if [ -z "$TRUN" ] || [ ! -d "$TRUN/best" ]; then
+    log "no canonical teacher"; return 1
+  fi
+  local OUT=runs/distill_r5_static
+  $GUARD timeout 14400 python tools/distill_run.py --run_dir="$TRUN/best" \
+      --dataset_dir=data/canonical_256/val --out_dir="$OUT" \
+      --grid=20 --hidden=32 --steps=20000 --batch=8192 --samples=192 \
+      --chunk=4096 --tile=256 --finetune_steps=20000 --finetune_batch=4096 \
+      --finetune_samples=96 --finetune_lr=3e-4 \
+      --finetune2_steps=20000 --finetune2_lr=1e-4 \
+      --ess=1 --also_bucketed=0 --time_tiles= \
+      > "$OUT.v2.log" 2>&1 || { tail -5 "$OUT.v2.log"; return 1; }
+  [ -f "$OUT/scores.json" ] || return 1
+  cp "$OUT.v2.log" "$OUT/distill_v2.log" 2>/dev/null
+  commit_artifacts distill_static_v2 "$OUT/scores.json" "$OUT/distill_v2.log"
+}
+
 # ---------- 4. bench second phase ----------
 
 stage_bench_phase () {
@@ -263,7 +289,9 @@ stage_pose_distill () {
         --pose_image=0 --grid=20 --hidden=32 --steps=20000 --batch=8192 \
         --samples=192 --chunk=4096 --tile=256 --finetune_steps=10000 \
         --finetune_batch=4096 --finetune_samples=96 --finetune_lr=3e-4 \
-        --ess=1 > "$OUT.log" 2>&1 || { tail -5 "$OUT.log"; return 1; }
+        --finetune2_steps=10000 --finetune2_lr=1e-4 \
+        --ess=1 --also_bucketed=0 --time_tiles= \
+        > "$OUT.log" 2>&1 || { tail -5 "$OUT.log"; return 1; }
     [ -f "$OUT/scores.json" ] || return 1
   fi
   cp "$OUT.log" "$OUT/distill.log" 2>/dev/null
@@ -299,6 +327,7 @@ for ATTEMPT in $(seq 1 ${MAX_ATTEMPTS:-40}); do
      && stage_data_canonical \
      && stage_teacher \
      && stage_distill_static \
+     && stage_distill_remeasure \
      && stage_bench_phase \
      && stage_data_walking \
      && stage_converge_and_walk \

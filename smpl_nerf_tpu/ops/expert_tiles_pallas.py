@@ -110,11 +110,15 @@ def expert_tiles_forward(experts, local: jnp.ndarray, dirs: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, D, H), lambda i, te: (te[i], 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H), lambda i, te: (te[i], 0),
+                # biases ride as [E, 1, H]/[E, 1, O]: Mosaic requires a block's
+                # LAST TWO dims to be (8, 128)-aligned or equal to the array's
+                # — a (1, H) block of an [E, H] array is neither (the round-5
+                # on-TPU lowering failure); (1, 1, H) of [E, 1, H] is equal
+                pl.BlockSpec((1, 1, H), lambda i, te: (te[i], 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, H, O), lambda i, te: (te[i], 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, O), lambda i, te: (te[i], 0),
+                pl.BlockSpec((1, 1, O), lambda i, te: (te[i], 0, 0),
                              memory_space=pltpu.VMEM),
                 full(mats[0].shape), full(mats[1].shape),
                 full(mats[2].shape), full(mats[3].shape),
@@ -124,5 +128,6 @@ def expert_tiles_forward(experts, local: jnp.ndarray, dirs: jnp.ndarray,
         ),
         out_shape=jax.ShapeDtypeStruct((L, O), jnp.float32),
         interpret=bool(interpret),
-    )(tile_expert.astype(jnp.int32), x, w0, b0, w1, b1, *mats)
+    )(tile_expert.astype(jnp.int32), x, w0, b0[:, None, :], w1,
+      b1[:, None, :], *mats)
     return out

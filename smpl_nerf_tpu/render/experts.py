@@ -141,6 +141,72 @@ def render_rays_with_experts_tiled(field, origins: jnp.ndarray,
     return outs, overflow.sum()
 
 
+def expert_raw_fn_culled(field, pos: jnp.ndarray, dirs: jnp.ndarray,
+                         budget: int, tile: int = 256, compute_dtype=None,
+                         use_kernel: bool = False):
+    """Cull-then-route serving: the round-5 fast path.
+
+    `expert_raw_fn_tiled` builds its sorted-tile plan on the RAW sample
+    stream — the argsort (XLA bitonic sort, O(N log^2 N) VPU passes) and the
+    plan's inverse scatter both run over every sample, ~90% of which are
+    skip-routed anyway on human scenes (outside the AABB / empty cells under
+    a CompactExpertField remap). Measured on the round-5 distilled field this
+    fixed per-chunk cost kept ESS serving SLOWER than the 8x256 teacher
+    (1295 ms vs 728 ms at 256^2x192 — artifacts/round5/distill_static).
+
+    Here the in-field samples are first compacted with `ep.compact_stream`
+    (one cumsum + one scatter, O(N)) and the sort/plan/encode/MLP all run on
+    the compact [budget] stream; results map back through one O(N) gather.
+    Same `budget` sizing as the tiled path (host-side worst case via
+    tools/distill_run.tiled_budget — it bounds real tokens + per-expert
+    padding, so it bounds the compact stream too). Overflow is the sum of
+    compaction drops and plan drops — never silent.
+
+    Accepts ExpertField or CompactExpertField. Returns (raw [N,4], n_overflow
+    scalar). The reference's serving loop being beaten is its full-trunk
+    chunked forward (reference inference.py:247-254).
+    """
+    ids, n_route = _route(field, pos)
+    comp = ep.compact_stream(ids < n_route, budget)
+    ids_c = jnp.where(comp.valid, ids[comp.src], n_route)
+    plan = ep.sorted_tile_plan(ids_c, n_route, budget, tile)
+    src = comp.src[plan.tok]
+    if use_kernel:
+        from smpl_nerf_tpu.ops.expert_tiles_pallas import expert_tiles_forward
+        out_slots = expert_tiles_forward(
+            field.experts, _local_coords(field, pos[src]), dirs[src],
+            plan.valid, plan.tile_expert, l_pos=field.l_pos,
+            l_dir=field.l_dir, tile=tile, compute_dtype=compute_dtype)
+    else:
+        x = _encode(field, pos[src], dirs[src])
+        out_slots = ep.tiles_apply(field.experts, x, plan,
+                                   compute_dtype=compute_dtype)
+    out_c = ep.plan_take(plan, out_slots)                    # [budget, O]
+    raw = (out_c[jnp.clip(comp.pos, 0, budget - 1)]
+           * comp.kept[:, None].astype(out_c.dtype))
+    return raw, plan.overflow.sum() + comp.n_dropped
+
+
+def render_rays_with_experts_culled(field, origins: jnp.ndarray,
+                                    dirs: jnp.ndarray, z_vals: jnp.ndarray,
+                                    budget: int, tile: int = 256,
+                                    white_background: bool = False,
+                                    compute_dtype=None,
+                                    use_kernel: bool = False) -> tuple:
+    """Cull-then-route twin of render_rays_with_experts_tiled (same contract:
+    callers must check n_overflow == 0 and raise the budget otherwise)."""
+    pos = origins[:, None, :] + z_vals[..., None] * dirs[:, None, :]
+    R, S = z_vals.shape
+    d_flat = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+    raw, n_over = expert_raw_fn_culled(field, pos.reshape(-1, 3), d_flat,
+                                       budget, tile,
+                                       compute_dtype=compute_dtype,
+                                       use_kernel=use_kernel)
+    outs = raw2outputs(raw.reshape(R, S, 4), z_vals, dirs,
+                       white_background=white_background)
+    return outs, n_over
+
+
 def expert_raw_fn_bucketed(field: ExpertField, pos: jnp.ndarray,
                            dirs: jnp.ndarray, capacity: int,
                            compute_dtype=None):

@@ -127,6 +127,39 @@ def test_tiled_serving_scale_ids():
     np.testing.assert_allclose(np.asarray(res.out)[~real], 0.0)
 
 
+# ---- compact_stream: the round-5 cull-then-sort prepass ----
+
+def test_compact_stream_roundtrip():
+    rng = np.random.RandomState(7)
+    keep_np = rng.rand(200) < 0.3
+    keep = jnp.asarray(keep_np)
+    k = int(keep_np.sum()) + 5
+    comp = ep.compact_stream(keep, k)
+    assert int(comp.n_dropped) == 0
+    srcs = np.asarray(comp.src)[np.asarray(comp.valid)]
+    np.testing.assert_array_equal(srcs, np.where(keep_np)[0])  # stable order
+    # pos inverts src on kept tokens
+    pos = np.asarray(comp.pos)
+    for slot, i in enumerate(srcs):
+        assert pos[i] == slot
+    assert np.asarray(comp.kept).sum() == keep_np.sum()
+
+
+def test_compact_stream_overflow_counted():
+    keep = jnp.ones((64,), bool)
+    comp = ep.compact_stream(keep, 48)
+    assert int(comp.n_dropped) == 16
+    assert int(np.asarray(comp.kept).sum()) == 48
+    np.testing.assert_array_equal(np.asarray(comp.src), np.arange(48))
+
+
+def test_compact_stream_empty_keep():
+    comp = ep.compact_stream(jnp.zeros((32,), bool), 8)
+    assert int(comp.n_dropped) == 0
+    assert not bool(comp.valid.any())
+    assert not bool(comp.kept.any())
+
+
 # ---- expert_parallel_apply: argsort ranking + skip id (VERDICT item 7) ----
 
 def test_parallel_skip_id_zeros_not_garbage(devices):

@@ -358,3 +358,68 @@ def test_tiled_finetune_matches_bucketed_and_accepts_compact():
         ex.finetune_experts(field, origins, dirs, gt_rgb,
                             jax.random.PRNGKey(5), near=0.05, far=1.7,
                             n_samples=S, n_steps=1, batch=8)
+
+
+def test_culled_render_matches_tiled_full_and_compact():
+    """Round-5 cull-then-route serving: identical outputs to the tiled path
+    (which itself matches bucketed/dense) for the full field AND the compact
+    field, with zero overflow at the host-sized budget."""
+    teacher_fn = _teacher()
+    field, _ = _distilled(teacher_fn)
+    E = field.grid ** 3
+    rng = np.random.RandomState(23)
+    R, S = 16, 24
+    origins = jnp.asarray(np.tile([[0.0, 0.0, -0.9]], (R, 1)).astype(np.float32))
+    d = rng.uniform(-0.3, 0.3, (R, 3)).astype(np.float32) + [0, 0, 1]
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = jnp.broadcast_to(jnp.linspace(0.05, 4.0, S), (R, S))  # exits the AABB
+
+    budget = ((R * S + E * 8) // 8) * 8
+    want, _ = ex.render_rays_with_experts_tiled(field, origins, dirs, z,
+                                                budget, tile=8)
+    got, n_over = ex.render_rays_with_experts_culled(field, origins, dirs, z,
+                                                     budget, tile=8)
+    assert int(n_over) == 0
+    np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(want.rgb),
+                               atol=1e-5)
+
+    occ = ex.dilate_occupancy(ex.cell_occupancy(field, 2, 0.5), field.grid)
+    if not occ.any():
+        occ[0] = True
+    cfield = ex.compact_field(field, occ)
+    want_c, _ = ex.render_rays_with_experts_tiled(cfield, origins, dirs, z,
+                                                  budget, tile=8)
+    got_c, n_over_c = ex.render_rays_with_experts_culled(
+        cfield, origins, dirs, z, budget, tile=8)
+    assert int(n_over_c) == 0
+    np.testing.assert_allclose(np.asarray(got_c.rgb), np.asarray(want_c.rgb),
+                               atol=1e-5)
+
+    # kernel variant (interpret off-TPU) agrees too
+    got_k, n_over_k = ex.render_rays_with_experts_culled(
+        cfield, origins, dirs, z, budget, tile=8, use_kernel=True)
+    assert int(n_over_k) == 0
+    np.testing.assert_allclose(np.asarray(got_k.rgb),
+                               np.asarray(want_c.rgb), atol=1e-4)
+
+
+def test_culled_overflow_flagged_not_silent():
+    """A too-small budget reports every culled-out sample (compaction drops
+    + plan drops), never silently renders them away as empty space."""
+    teacher_fn = _teacher()
+    field, _ = _distilled(teacher_fn)
+    rng = np.random.RandomState(29)
+    R, S = 8, 16
+    origins = jnp.asarray(np.tile([[0.0, 0.0, -0.9]], (R, 1)).astype(np.float32))
+    d = rng.uniform(-0.2, 0.2, (R, 3)).astype(np.float32) + [0, 0, 1]
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = jnp.broadcast_to(jnp.linspace(0.3, 1.4, S), (R, S))  # inside the AABB
+
+    pos = (origins[:, None, :] + z[..., None] * dirs[:, None, :]).reshape(-1, 3)
+    inside = np.asarray(jnp.all((pos >= field.aabb_min)
+                                & (pos <= field.aabb_max), -1))
+    n_in = int(inside.sum())
+    assert n_in > 16
+    _, n_over = ex.render_rays_with_experts_culled(field, origins, dirs, z,
+                                                   budget=16, tile=8)
+    assert int(n_over) >= n_in - 16

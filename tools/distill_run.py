@@ -42,6 +42,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from smpl_nerf_tpu.cli.inference import setup_from_run_dir
 from smpl_nerf_tpu.core.integrate import raw2outputs
@@ -255,6 +256,11 @@ def main(argv=None):
     p.add_argument("--finetune_batch", type=int, default=4096)
     p.add_argument("--finetune_samples", type=int, default=96)
     p.add_argument("--finetune_lr", type=float, default=3e-4)
+    p.add_argument("--finetune2_steps", type=int, default=0,
+                   help="second fine-tune phase at cosine-decayed lr "
+                        "(resumes field_ft.npz; converges the Adam noise "
+                        "tail phase 1 leaves)")
+    p.add_argument("--finetune2_lr", type=float, default=1e-4)
     p.add_argument("--finetune_tile", type=int, default=32,
                    help="sorted-tile size for fine-tune steps (small: "
                         "training batches touch many cells sparsely)")
@@ -424,17 +430,14 @@ def main(argv=None):
 
     # KiloNeRF stage 2: photometric fine-tuning on the train split, then
     # re-score — the distilled field is the init, fine-tuning recovers the
-    # quality the sampled-regression objective leaves behind
-    ft_meta = None
-    ft_resumed = _load_field(os.path.join(args.out_dir, "field_ft.npz"))
-    if ft_resumed is not None and args.finetune_steps > 0:
-        field = ft_resumed
-        ft_scores, ft_gap = score_experts(
-            "fine-tuned (resumed)", field.experts, truths, teach_imgs)
-        ft_meta = {"steps": args.finetune_steps, "seconds": 0.0,
-                   "resumed": True, "final_pixel_mse": None, "overflow": 0,
-                   "scores": ft_scores, "gap": ft_gap}
-    elif args.finetune_steps > 0:
+    # quality the sampled-regression objective leaves behind. Phases are
+    # resumable (saved fields survive tunnel flaps) and share one
+    # lazily-built train-split + tiled-budget setup.
+    _ft_env = {}
+
+    def ft_setup():
+        if _ft_env:
+            return _ft_env["tdata"], _ft_env["budget"]
         train_dir = args.train_dir or os.path.join(
             os.path.dirname(args.dataset_dir.rstrip("/")), "train")
         tdata = datasets.load_dataset(train_dir, "nerf", run_args)
@@ -462,31 +465,63 @@ def main(argv=None):
             counts = np.bincount(ids, minlength=E)
             worst = max(worst, int((-(-counts // tl) * tl).sum()))
         ft_budget = int(np.ceil(worst * 1.25 / tl) * tl)
-        print(f"fine-tuning {args.finetune_steps} steps, batch "
+        _ft_env.update(tdata=tdata, budget=ft_budget)
+        return tdata, ft_budget
+
+    def run_finetune(tag, fname, steps, lr, seed_off):
+        """One resumable fine-tune phase: load fname if saved, else train,
+        save, and score. Mutates `field` to the phase result."""
+        nonlocal field
+        resumed = _load_field(os.path.join(args.out_dir, fname))
+        if resumed is not None:
+            field = resumed
+            scores, gap = score_experts(
+                f"{tag} (resumed)", field.experts, truths, teach_imgs)
+            return {"steps": steps, "seconds": 0.0, "resumed": True,
+                    "final_pixel_mse": None, "overflow": 0,
+                    "scores": scores, "gap": gap}
+        tdata, ft_budget = ft_setup()
+        tl = args.finetune_tile
+        print(f"{tag}: {steps} steps, batch "
               f"{args.finetune_batch} x {args.finetune_samples} samples, "
               f"tiled budget {ft_budget} (tile {tl})")
         t0 = time.time()
         field, ft_loss, ft_over = ex.finetune_experts(
             field, tdata.origins, tdata.directions, tdata.rgb,
-            jax.random.PRNGKey(args.seed + 1), near=cfg.near, far=cfg.far,
-            n_samples=args.finetune_samples, budget=ft_budget, tile=tl,
-            n_steps=args.finetune_steps, batch=args.finetune_batch,
-            lr=args.finetune_lr, white_background=white)
+            jax.random.PRNGKey(args.seed + seed_off), near=cfg.near,
+            far=cfg.far, n_samples=args.finetune_samples, budget=ft_budget,
+            tile=tl, n_steps=steps, batch=args.finetune_batch,
+            lr=lr, white_background=white)
         ft_s = time.time() - t0
-        print(f"fine-tuned in {ft_s:.1f}s, final pixel mse {ft_loss:.6f}, "
+        print(f"{tag} in {ft_s:.1f}s, final pixel mse {ft_loss:.6f}, "
               f"overflowed samples {ft_over}")
         if ft_over:
             print(f"WARNING: {ft_over} fine-tune samples overflowed the "
                   f"tiled budget {ft_budget} and rendered as empty space")
-        np.savez(os.path.join(args.out_dir, "field_ft.npz"),
+        np.savez(os.path.join(args.out_dir, fname),
                  **{k: np.asarray(v) for k, v in field.experts._asdict().items()},
                  aabb_min=np.asarray(aabb_min), aabb_max=np.asarray(aabb_max),
                  grid=args.grid, l_pos=args.l_pos, l_dir=args.l_dir)
-        ft_scores, ft_gap = score_experts(
-            "fine-tuned", field.experts, truths, teach_imgs)
-        ft_meta = {"steps": args.finetune_steps, "seconds": round(ft_s, 1),
-                   "final_pixel_mse": round(float(ft_loss), 6),
-                   "overflow": ft_over, "scores": ft_scores, "gap": ft_gap}
+        scores, gap = score_experts(tag, field.experts, truths, teach_imgs)
+        return {"steps": steps, "seconds": round(ft_s, 1),
+                "final_pixel_mse": round(float(ft_loss), 6),
+                "overflow": ft_over, "scores": scores, "gap": gap}
+
+    ft_meta = None
+    if args.finetune_steps > 0:
+        ft_meta = run_finetune("fine-tuned", "field_ft.npz",
+                               args.finetune_steps, args.finetune_lr, 1)
+    ft2_meta = None
+    if args.finetune2_steps > 0:
+        # phase 2 at cosine-decayed lr: the 20k-step phase-1 trace still
+        # oscillated 0.0008-0.0014 at constant 3e-4 (Adam noise floor) —
+        # decaying to lr*alpha converges the tail toward teacher parity
+        sched = optax.cosine_decay_schedule(args.finetune2_lr,
+                                            args.finetune2_steps, alpha=0.03)
+        ft2_meta = run_finetune("fine-tuned v2 (cosine lr)", "field_ft2.npz",
+                                args.finetune2_steps, sched, 2)
+        ft2_meta["lr"] = [args.finetune2_lr,
+                          round(args.finetune2_lr * 0.03, 8)]
 
     # KiloNeRF empty-space skipping: compact the final field to its occupied
     # cells (mask probed from the field itself + 1-cell dilation), re-score
@@ -505,8 +540,21 @@ def main(argv=None):
               f"({100 * n_occ / args.grid ** 3:.1f}%), tiled budget "
               f"{budget_ess}")
 
+        # scored + headline-timed ESS path: cull-then-route (round 5 —
+        # compaction before the sort; see ex.expert_raw_fn_culled)
         @jax.jit
         def render_ess(o, d, experts_remap):
+            experts, remap = experts_remap
+            z = jnp.broadcast_to(jnp.asarray(z_row), (o.shape[0], S))
+            outs, n_over = ex.render_rays_with_experts_culled(
+                cfield._replace(experts=experts, remap=remap), o, d, z,
+                budget_ess, args.tile, white_background=white,
+                compute_dtype=serve_dtype)
+            return outs.rgb, n_over
+
+        # head-to-head: the sort-the-raw-stream tiled path (same math)
+        @jax.jit
+        def render_ess_tiled(o, d, experts_remap):
             experts, remap = experts_remap
             z = jnp.broadcast_to(jnp.asarray(z_row), (o.shape[0], S))
             outs, n_over = ex.render_rays_with_experts_tiled(
@@ -516,7 +564,7 @@ def main(argv=None):
             return outs.rgb, n_over
 
         ess_scores, ess_gap = None, None
-        print("— ESS render (tiled) —")
+        print("— ESS render (culled) —")
         imgs, n_over = render_split(render_ess, (cfield.experts, cfield.remap))
         if n_over:
             raise RuntimeError(f"{n_over} samples overflowed the ESS tiled "
@@ -539,7 +587,7 @@ def main(argv=None):
             def render_ess_kernel(o, d, experts_remap):
                 experts, remap = experts_remap
                 z = jnp.broadcast_to(jnp.asarray(z_row), (o.shape[0], S))
-                outs, n_over = ex.render_rays_with_experts_tiled(
+                outs, n_over = ex.render_rays_with_experts_culled(
                     cfield._replace(experts=experts, remap=remap), o, d, z,
                     budget_ess, args.tile, white_background=white,
                     compute_dtype=serve_dtype, use_kernel=True)
@@ -595,6 +643,8 @@ def main(argv=None):
     t_expert = time_image(render_expert, field.experts)
     t_ess = (time_image(render_ess, (cfield.experts, cfield.remap))
              if ess_meta else None)
+    t_ess_tiled = (time_image(render_ess_tiled, (cfield.experts, cfield.remap))
+                   if ess_meta else None)
     tile_sweep = {}
     if ess_meta and args.time_tiles:
         for tl2 in [int(t) for t in args.time_tiles.split(",") if t]:
@@ -627,8 +677,10 @@ def main(argv=None):
     print(f"render latency ({data.h}x{data.w}, {S} samples/ray, best of "
           f"{args.time_reps}): teacher {t_teacher * 1e3:.1f} ms, "
           f"tiled {t_expert * 1e3:.1f} ms ({t_teacher / t_expert:.1f}x)"
-          + (f", ESS-tiled {t_ess * 1e3:.1f} ms ({t_teacher / t_ess:.1f}x)"
+          + (f", ESS-culled {t_ess * 1e3:.1f} ms ({t_teacher / t_ess:.1f}x)"
              if t_ess else "")
+          + (f", ESS-tiled {t_ess_tiled * 1e3:.1f} ms"
+             if t_ess_tiled else "")
           + (f", ESS-fused-kernel {t_ess_kernel * 1e3:.1f} ms "
              f"({t_teacher / t_ess_kernel:.1f}x)" if t_ess_kernel else "")
           + (f", ESS-bucketed {t_ess_bucketed * 1e3:.1f} ms"
@@ -645,15 +697,19 @@ def main(argv=None):
         "distill_bias": args.distill_bias,
         "serve_dtype": "bfloat16" if serve_dtype is not None else "float32",
         "distill_seconds": round(distill_s, 1),
-        "distill_final_mse": round(float(loss), 5),
+        "distill_final_mse": (None if np.isnan(loss)
+                              else round(float(loss), 5)),
         "teacher": teacher_scores, "distilled": dist_scores,
-        "distill_gap": gap_scores, "finetune": ft_meta, "ess": ess_meta,
+        "distill_gap": gap_scores, "finetune": ft_meta,
+        "finetune2": ft2_meta, "ess": ess_meta,
         "latency_ms": {"teacher": round(t_teacher * 1e3, 2),
                        "tiled": round(t_expert * 1e3, 2),
                        "speedup": round(t_teacher / t_expert, 2),
-                       **({"ess_tiled": round(t_ess * 1e3, 2),
-                           "ess_speedup": round(t_teacher / t_ess, 2)}
+                       **({"ess_culled": round(t_ess * 1e3, 2),
+                           "ess_culled_speedup": round(t_teacher / t_ess, 2)}
                           if t_ess else {}),
+                       **({"ess_tiled": round(t_ess_tiled * 1e3, 2)}
+                          if t_ess_tiled else {}),
                        **({"ess_fused_kernel": round(t_ess_kernel * 1e3, 2),
                            "ess_fused_speedup":
                                round(t_teacher / t_ess_kernel, 2)}
