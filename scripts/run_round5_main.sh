@@ -221,6 +221,18 @@ stage_bench_phase () {
       artifacts/round5/bench_phase/bench_phase_a.log
 }
 
+# phase b: a SECOND session's chip draw for the render-latency headline
+# (phase a ran in the previous driver session; BENCH_r04 is a third draw)
+stage_bench_phase_b () {
+  [ -f artifacts/round5/bench_phase/bench_phase_b.json ] && return 0
+  mkdir -p artifacts/round5/bench_phase
+  $GUARD timeout 5400 python bench.py \
+      > artifacts/round5/bench_phase/bench_phase_b.json \
+      2> artifacts/round5/bench_phase/bench_phase_b.log || return 1
+  commit_artifacts bench_phase artifacts/round5/bench_phase/bench_phase_b.json \
+      artifacts/round5/bench_phase/bench_phase_b.log
+}
+
 # ---------- 5. ridge winner converge + walking rerun ----------
 
 pick_best () {  # argmax over ALL committed probe curves + fresh runs
@@ -320,20 +332,25 @@ stage_grid_walking () {
 
 for ATTEMPT in $(seq 1 ${MAX_ATTEMPTS:-40}); do
   log "=== attempt $ATTEMPT ==="
+  # Session-2 order: the wiped disk makes the teacher a prerequisite again;
+  # the headline re-measure (VERDICT 2+3) goes first, then the flagship-family
+  # pose distill (6), GridNerf evidence (5), bench phase b (8), and the
+  # walking stretch goals last so an outage eats them, not the headline.
   if bash scripts/wait_for_tpu.sh --max-wait 14400 \
-     && stage_data_armsweep \
-     && probe 0.9 30 \
-     && probe 1.2 30 \
      && stage_data_canonical \
      && stage_teacher \
      && stage_distill_static \
      && stage_distill_remeasure \
-     && stage_bench_phase \
-     && stage_data_walking \
-     && stage_converge_and_walk \
+     && stage_data_armsweep \
+     && probe 0.9 30 \
+     && probe 1.2 30 \
      && stage_append_teacher \
      && stage_pose_distill \
      && stage_grid_canonical \
+     && stage_bench_phase \
+     && stage_bench_phase_b \
+     && stage_data_walking \
+     && stage_converge_and_walk \
      && stage_grid_walking; then
     log "=== round-5 main chain complete ==="
     python tools/check_landed.py || log "check_landed flagged stranded results"
