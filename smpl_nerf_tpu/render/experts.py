@@ -27,11 +27,13 @@ held-out raw error + rendered-pixel agreement (tests/test_experts.py).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from smpl_nerf_tpu.core.encoding import PositionalEncoder
@@ -475,7 +477,9 @@ def finetune_experts(field, origins, dirs, rgb, key, *,
                      near: float, far: float, n_samples: int,
                      capacity: int = 0, budget: int = 0, tile: int = 32,
                      n_steps: int = 1000, batch: int = 4096, lr: float = 5e-4,
-                     white_background: bool = False):
+                     white_background: bool = False,
+                     checkpoint_path: str | None = None,
+                     checkpoint_every: int = 0):
     """KiloNeRF's second stage: photometric fine-tuning of the distilled
     experts on real training rays (arXiv:2103.13744 §3.3 — distillation gives
     the initialization, fine-tuning recovers the teacher-level quality the
@@ -494,6 +498,13 @@ def finetune_experts(field, origins, dirs, rgb, key, *,
     CompactExpertField so pruned fields fine-tune directly (KiloNeRF's
     prune-then-finetune order). `capacity` (> 0) selects the legacy
     bucketed path (ExpertField only). Exactly one must be set.
+
+    `checkpoint_path` + `checkpoint_every` make a LONG phase survive a
+    mid-phase kill (the TPU tunnel flaps on ~20-40 min windows, a 20k-step
+    phase is ~32 min): every `checkpoint_every` steps the full training
+    state — params, Adam moments (incl. the schedule count), overflow
+    counter, PRNG key — is written atomically to `checkpoint_path`; a rerun
+    with the same arguments resumes the exact step/optimizer/RNG stream.
 
     Returns (field, final_loss, total_overflow).
     """
@@ -538,14 +549,51 @@ def finetune_experts(field, origins, dirs, rgb, key, *,
     # the first step.
     experts, loss = jax.tree.map(jnp.array, field.experts), jnp.inf
     total_over = jnp.zeros((), jnp.int32)
+
+    # Mid-phase resume: the checkpoint stores the flattened (experts,
+    # opt_state, total_over) leaves; the treedef comes from the freshly
+    # initialized state above, so a stale/mismatched file (different grid,
+    # hidden, or optimizer) is detected by leaf count/shape and ignored.
+    start = 0
+    leaves0, treedef = jax.tree_util.tree_flatten(
+        (experts, opt_state, total_over))
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        z = np.load(checkpoint_path)
+        names = [f"leaf{j}" for j in range(len(leaves0))]
+        ok = ("n_steps" in z and int(z["n_steps"]) == n_steps
+              and all(n in z for n in names)
+              and all(z[n].shape == l.shape for n, l in zip(names, leaves0)))
+        if ok:
+            experts, opt_state, total_over = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(z[n]) for n in names])
+            key = jnp.asarray(z["key"])
+            start = int(z["step"])
+            print(f"  resumed fine-tune checkpoint at step {start}/{n_steps}",
+                  flush=True)
+        else:
+            print(f"  stale fine-tune checkpoint {checkpoint_path} ignored",
+                  flush=True)
+
+    def _save_checkpoint(step, experts, opt_state, total_over, key):
+        leaves = jax.tree_util.tree_leaves((experts, opt_state, total_over))
+        tmp = checkpoint_path + ".tmp.npz"  # savez keeps names ending .npz
+        np.savez(tmp, step=step, n_steps=n_steps, key=np.asarray(key),
+                 **{f"leaf{j}": np.asarray(l) for j, l in enumerate(leaves)})
+        os.replace(tmp, checkpoint_path)  # atomic: no truncated checkpoints
+
     hb = max(1, n_steps // 20)  # heartbeat: long fits must not look hung
-    for i in range(n_steps):
+    for i in range(start, n_steps):
         key, sub = jax.random.split(key)
         experts, opt_state, total_over, loss = train_step(
             experts, opt_state, total_over, sub)
         if (i + 1) % hb == 0 or i + 1 == n_steps:
             print(f"  finetune step {i + 1}/{n_steps} mse {float(loss):.6f}",
                   flush=True)
+        if (checkpoint_path and checkpoint_every
+                and (i + 1) % checkpoint_every == 0 and (i + 1) < n_steps):
+            _save_checkpoint(i + 1, experts, opt_state, total_over, key)
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)  # phase done — the caller saves the field
     return field._replace(experts=experts), float(loss), int(total_over)
 
 

@@ -423,3 +423,61 @@ def test_culled_overflow_flagged_not_silent():
     _, n_over = ex.render_rays_with_experts_culled(field, origins, dirs, z,
                                                    budget=16, tile=8)
     assert int(n_over) >= n_in - 16
+
+
+def test_finetune_checkpoint_resume(tmp_path, monkeypatch):
+    """A fine-tune phase killed mid-way resumes from its checkpoint to the
+    BITWISE-identical trajectory of an uninterrupted run: the checkpoint
+    stores params + Adam state + overflow + PRNG key, so the resumed stream
+    is the same stream. A stale checkpoint (different n_steps) is ignored;
+    a completed phase deletes its checkpoint."""
+    teacher_fn = _teacher()
+    field, _ = _distilled(teacher_fn)
+    E = field.grid ** 3
+    rng = np.random.RandomState(21)
+    R, S = 256, 16
+    origins = jnp.asarray(np.tile([[0.0, 0.0, -0.9]], (R, 1)).astype(np.float32))
+    d = rng.uniform(-0.4, 0.4, (R, 3)).astype(np.float32) + [0, 0, 1]
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    z = jnp.broadcast_to(jnp.linspace(0.05, 1.7, S), (R, S))
+    pos = origins[:, None, :] + z[..., None] * dirs[:, None, :]
+    d_flat = jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+    raw_t = teacher_fn(pos.reshape(-1, 3), d_flat).reshape(R, S, 4)
+    gt_rgb = raw2outputs(raw_t, z, dirs).rgb
+    budget = ((R * S + E * 8) // 8) * 8
+    kw = dict(near=0.05, far=1.7, n_samples=S, budget=budget, tile=8,
+              batch=256, lr=3e-4)
+    ck = str(tmp_path / "ck.npz")
+
+    # reference: uninterrupted 24-step phase
+    ref, loss_ref, _ = ex.finetune_experts(
+        field, origins, dirs, gt_rgb, jax.random.PRNGKey(5), n_steps=24, **kw)
+
+    # "interrupted" phase: keep the step-16 checkpoint alive by disabling the
+    # end-of-phase delete, as if the process died after step 16
+    import os as _os
+    monkeypatch.setattr(ex.os, "remove", lambda p: None)
+    ex.finetune_experts(field, origins, dirs, gt_rgb, jax.random.PRNGKey(5),
+                        n_steps=24, checkpoint_path=ck, checkpoint_every=16,
+                        **kw)
+    monkeypatch.undo()
+    assert _os.path.exists(ck)
+    assert int(np.load(ck)["step"]) == 16
+
+    # resume: must land bitwise on the reference trajectory, then clean up
+    res, loss_res, _ = ex.finetune_experts(
+        field, origins, dirs, gt_rgb, jax.random.PRNGKey(5), n_steps=24,
+        checkpoint_path=ck, checkpoint_every=16, **kw)
+    assert loss_res == loss_ref
+    for a, b in zip(jax.tree_util.tree_leaves(res.experts),
+                    jax.tree_util.tree_leaves(ref.experts)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not _os.path.exists(ck)
+
+    # stale checkpoint (n_steps mismatch) is ignored, run still completes
+    np.savez(ck.replace(".npz", ".stale.npz"))
+    _os.replace(ck.replace(".npz", ".stale.npz"), ck)
+    out, _, _ = ex.finetune_experts(
+        field, origins, dirs, gt_rgb, jax.random.PRNGKey(5), n_steps=8,
+        checkpoint_path=ck, checkpoint_every=4, **kw)
+    assert out is not None
