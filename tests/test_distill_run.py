@@ -94,6 +94,26 @@ def test_distill_static_nerf_end_to_end(static_setup):
     assert out["distill_gap"]["mse"] < 0.15
 
 
+def test_distill_ray_cull_head_to_head(static_setup):
+    """--ray_cull: the field's cell occupancy selects foreground rays; the
+    culled ESS render must (a) report latency for both teacher-rc and ess-rc,
+    (b) score within noise of the full ESS render — background rays are
+    exactly the skip-routed (zero-raw) rays of the full render."""
+    from tools import distill_run
+
+    ds, run_dir, root = static_setup
+    out_dir = os.path.join(root, "distill")  # resumes the cached fields
+    out = distill_run.main(_distill_argv(run_dir, ds, out_dir,
+                                         extra=["--ray_cull=1"]))
+    rc = out["ray_cull"]
+    assert rc is not None
+    assert rc["latency_ms"]["teacher_rc"] > 0
+    assert rc["latency_ms"]["ess_rc"] > 0
+    assert 0 < rc["worst_fg"] <= rc["rays_per_view"]
+    assert rc["stream"] % 1 == 0 and rc["budget"] > 0
+    assert abs(rc["scores"]["psnr"] - out["ess"]["scores"]["psnr"]) < 0.3
+
+
 def test_distill_pose_conditioned_append(append_setup):
     """Per-pose baking: an append_smpl_params run distills at one pose and is
     scored only against same-pose views."""

@@ -37,6 +37,7 @@ apply_platform_env()
 import argparse
 import json
 import time
+import types
 
 import numpy as np
 
@@ -195,6 +196,30 @@ def tiled_budget(data, aabb_min, aabb_max, grid, z, chunk, tile,
     return int(np.ceil(max(worst, tile) * 1.02 / tile) * tile)
 
 
+def ray_fg_masks(data, aabb_min, aabb_max, grid, z, occupied):
+    """Per-image boolean foreground masks: a ray is foreground iff ANY of its
+    uniform z samples lands inside the AABB in an OCCUPIED cell. Host numpy —
+    for a static (per-pose) field this is bake-time work, amortized across
+    every frame served at that pose, exactly like the occupancy-grid bake in
+    render/fast.py (the mask depends only on the camera, not the frame)."""
+    occ = np.asarray(occupied, bool)
+    z = np.asarray(z, np.float32)
+    masks = []
+    for i in range(data.num_images):
+        o, d = _image_rays(data, i)
+        fg = np.zeros(len(o), bool)
+        for lo in range(0, len(o), 8192):
+            pos = (o[lo:lo + 8192, None, :]
+                   + z[None, :, None] * d[lo:lo + 8192, None, :])
+            inside = np.all((pos >= aabb_min) & (pos <= aabb_max), -1)
+            u = (pos - aabb_min) / (aabb_max - aabb_min)
+            c = np.clip((u * grid).astype(np.int64), 0, grid - 1)
+            ids = (c[..., 0] * grid + c[..., 1]) * grid + c[..., 2]
+            fg[lo:lo + 8192] = (inside & occ[ids]).any(-1)
+        masks.append(fg)
+    return masks
+
+
 def max_bucket_count(data, aabb_min, aabb_max, grid, z, chunk, occupied=None):
     """Worst per-expert in-AABB sample count over every chunk this render
     will execute — sizes the static bucket capacity with no silent drops.
@@ -276,6 +301,13 @@ def main(argv=None):
                    help="raw-sigma threshold for the cell-occupancy probe")
     p.add_argument("--ess_probe", type=int, default=3,
                    help="occupancy probe lattice points per cell axis")
+    p.add_argument("--ray_cull", type=int, default=0,
+                   help="also measure the RAY-level culling head-to-head "
+                        "(render/fast.py's idea applied to serving): the "
+                        "field's cell occupancy marks foreground rays per "
+                        "view at bake time; teacher AND expert paths then "
+                        "render only those rays, background composited "
+                        "exactly. Quality re-scored, latency best-of-N.")
     p.add_argument("--distill_bias", type=float, default=0.5,
                    help="fraction of distill samples drawn inside the "
                         "TEACHER's occupied cells (0 = uniform only)")
@@ -736,6 +768,139 @@ def main(argv=None):
           + (f", ESS-bucketed {t_ess_bucketed * 1e3:.1f} ms"
              if t_ess_bucketed else ""))
 
+    # ---- ray-level culling head-to-head (opt-in): both serving paths run
+    # only the rays the field's cell occupancy marks as foreground; the
+    # background is composited exactly (white_background training contract,
+    # same precondition as render/fast.make_occupancy_renderer)
+    ray_cull_meta = None
+    if ess_meta and args.ray_cull:
+        masks = ray_fg_masks(data, np.asarray(aabb_min), np.asarray(aabb_max),
+                             args.grid, z_row, occ)
+        R_view = data.h * data.w
+        n_fg = max(int(m.sum()) for m in masks)
+        RK = int(np.ceil(max(n_fg, args.chunk) * 1.02 / args.chunk)
+                 * args.chunk)
+        RK = min(RK, (R_view // args.chunk) * args.chunk or R_view)
+        print(f"ray cull: worst-view foreground {n_fg}/{R_view} rays "
+              f"({100 * n_fg / R_view:.1f}%), padded stream {RK} "
+              f"({RK // args.chunk} x {args.chunk}-ray chunks)")
+        sel = []  # per image: RK ray indices (pad = repeat of a fg index —
+        #           duplicate writes carry the identical value)
+        for m in masks:
+            idx = np.flatnonzero(m)
+            if idx.size == 0:
+                idx = np.zeros(1, np.int64)
+            if idx.size > RK:  # only possible when R_view % chunk != 0
+                raise RuntimeError(
+                    f"ray cull stream {RK} < foreground count {idx.size} — "
+                    "foreground rays would be dropped (never silent)")
+            sel.append(np.concatenate(
+                [idx, np.full(RK - idx.size, idx[-1], idx.dtype)]))
+
+        def _culled_rays(i):
+            o, d = _image_rays(data, i)
+            return o[sel[i]], d[sel[i]]
+
+        # all-foreground chunks are denser than the original ray order's —
+        # recompute the tiled budget over the culled stream, don't reuse
+        rc_view = types.SimpleNamespace(
+            num_images=data.num_images, h=1, w=RK,
+            origins=np.concatenate([_culled_rays(i)[0]
+                                    for i in range(data.num_images)]),
+            directions=np.concatenate([_culled_rays(i)[1]
+                                       for i in range(data.num_images)]))
+        budget_rc = tiled_budget(rc_view, np.asarray(aabb_min),
+                                 np.asarray(aabb_max), args.grid, z_row,
+                                 args.chunk, args.tile,
+                                 occupied=np.asarray(occ, bool))
+
+        def _rc_render(use_kernel):
+            @jax.jit
+            def fn(o, d, experts_remap):
+                experts, remap = experts_remap
+                z = jnp.broadcast_to(jnp.asarray(z_row), (o.shape[0], S))
+                outs, n_over = ex.render_rays_with_experts_culled(
+                    cfield._replace(experts=experts, remap=remap), o, d, z,
+                    budget_rc, args.tile, white_background=white,
+                    compute_dtype=serve_dtype, use_kernel=use_kernel)
+                return outs.rgb, n_over
+            return fn
+
+        render_ess_rc = _rc_render(False)
+        bg = 1.0 if white else 0.0
+
+        def render_split_rc(fn, extra=None):
+            imgs, total_over = [], 0
+            for i in range(data.num_images):
+                o, d = _culled_rays(i)
+                rows = []
+                for lo in range(0, RK, args.chunk):
+                    ch = (jnp.asarray(o[lo:lo + args.chunk]),
+                          jnp.asarray(d[lo:lo + args.chunk]))
+                    if extra is not None:
+                        outk, n_over = fn(*ch, extra)
+                        total_over += int(n_over)
+                    else:
+                        outk = fn(*ch)
+                    rows.append(np.asarray(outk))
+                canvas = np.full((R_view, 3), bg, np.float32)
+                canvas[sel[i]] = np.concatenate(rows)
+                imgs.append(canvas.reshape(data.h, data.w, 3))
+            return np.stack(imgs), total_over
+
+        print("— ray-culled ESS render (fg rays only) —")
+        rc_imgs, n_over = render_split_rc(render_ess_rc,
+                                          (cfield.experts, cfield.remap))
+        if n_over:
+            raise RuntimeError(f"{n_over} samples overflowed the ray-culled "
+                               f"budget {budget_rc}")
+        rc_scores = print_scores(rc_imgs, truths)
+        print("— ray-culled ESS gap vs (all-rays) teacher render —")
+        rc_gap = print_scores(rc_imgs, teach_imgs)
+        print("— ray-culled TEACHER render (same fg rays) —")
+        rc_t_imgs, _ = render_split_rc(render_teacher)
+        rc_t_scores = print_scores(rc_t_imgs, truths)
+
+        def time_rc(fn, *extra):
+            o, d = _culled_rays(0)
+            best = np.inf
+            for _ in range(args.time_reps):
+                t0 = time.time()
+                for lo in range(0, RK, args.chunk):
+                    outk = fn(jnp.asarray(o[lo:lo + args.chunk]),
+                              jnp.asarray(d[lo:lo + args.chunk]), *extra)
+                    np.asarray(outk[0] if extra else outk)
+                best = min(best, time.time() - t0)
+            return best
+
+        t_rc_ess = time_rc(render_ess_rc, (cfield.experts, cfield.remap))
+        t_rc_teacher = time_rc(render_teacher)
+        t_rc_kernel = None
+        if render_ess_kernel is not None:
+            try:
+                t_rc_kernel = time_rc(_rc_render(True),
+                                      (cfield.experts, cfield.remap))
+            except Exception as e:
+                print(f"ray-culled fused kernel SKIPPED: {e}")
+        print(f"ray-culled latency ({RK} of {R_view} rays/view, best of "
+              f"{args.time_reps}): teacher-rc {t_rc_teacher * 1e3:.1f} ms, "
+              f"ESS-rc {t_rc_ess * 1e3:.1f} ms "
+              f"({t_rc_teacher / t_rc_ess:.1f}x vs ray-culled teacher, "
+              f"{t_teacher / t_rc_ess:.1f}x vs all-rays teacher)"
+              + (f", fused-kernel-rc {t_rc_kernel * 1e3:.1f} ms"
+                 if t_rc_kernel else ""))
+        ray_cull_meta = {
+            "worst_fg": n_fg, "stream": RK, "rays_per_view": R_view,
+            "budget": budget_rc, "scores": rc_scores,
+            "gap_vs_full_teacher": rc_gap, "teacher_scores": rc_t_scores,
+            "latency_ms": {
+                "teacher_rc": round(t_rc_teacher * 1e3, 2),
+                "ess_rc": round(t_rc_ess * 1e3, 2),
+                "ess_rc_vs_allrays_teacher":
+                    round(t_teacher / t_rc_ess, 2),
+                **({"ess_rc_kernel": round(t_rc_kernel * 1e3, 2)}
+                   if t_rc_kernel else {})}}
+
     out = {
         "run_dir": args.run_dir, "dataset_dir": args.dataset_dir,
         "grid": args.grid, "hidden": args.hidden, "steps": args.steps,
@@ -751,7 +916,7 @@ def main(argv=None):
                               else round(float(loss), 5)),
         "teacher": teacher_scores, "distilled": dist_scores,
         "distill_gap": gap_scores, "finetune": ft_meta,
-        "finetune2": ft2_meta, "ess": ess_meta,
+        "finetune2": ft2_meta, "ess": ess_meta, "ray_cull": ray_cull_meta,
         "latency_ms": {"teacher": round(t_teacher * 1e3, 2),
                        "tiled": round(t_expert * 1e3, 2),
                        "speedup": round(t_teacher / t_expert, 2),
