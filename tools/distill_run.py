@@ -301,7 +301,7 @@ def main(argv=None):
                    help="raw-sigma threshold for the cell-occupancy probe")
     p.add_argument("--ess_probe", type=int, default=3,
                    help="occupancy probe lattice points per cell axis")
-    p.add_argument("--ray_cull", type=int, default=0,
+    p.add_argument("--ray_cull", type=int, default=1,
                    help="also measure the RAY-level culling head-to-head "
                         "(render/fast.py's idea applied to serving): the "
                         "field's cell occupancy marks foreground rays per "
