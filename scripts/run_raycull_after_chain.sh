@@ -46,9 +46,45 @@ for ATTEMPT in 1 2 3 4 5; do
       mkdir -p "$DEST"
       cp "$OUT/scores.json" "$DEST/scores.json"
       cp "$OUT.raycull.log" "$DEST/raycull.log"
-      git add artifacts/round5 >/dev/null 2>&1
+      # land the numbers in RESULTS.md too (never leave a measured score
+      # stranded in artifacts/ — the round-4 verdict's process bug)
+      python - <<'EOF'
+import json, re
+rc = json.load(open("runs/distill_r5_static/scores.json"))
+lat, r = rc["latency_ms"], rc.get("ray_cull")
+if r:
+    t = lat["teacher"]
+    lines = [
+        f"| teacher, all rays (reference serving loop) | {t:.1f} ms | 1.0× |",
+        f"| teacher, ray-culled | {r['latency_ms']['teacher_rc']:.1f} ms | "
+        f"{t / r['latency_ms']['teacher_rc']:.2f}× |",
+        f"| ESS experts, ray-culled (cull-then-route) | "
+        f"**{r['latency_ms']['ess_rc']:.1f} ms** | "
+        f"**{t / r['latency_ms']['ess_rc']:.2f}×** |",
+    ]
+    tail = (f"\n(auto-landed by scripts/run_raycull_after_chain.sh: worst-view "
+            f"foreground {r['worst_fg']}/{r['rays_per_view']} rays, stream "
+            f"{r['stream']}, ray-culled ESS quality {r['scores']['psnr']:.2f} "
+            f"PSNR / {r['scores']['ssim']:.4f} SSIM vs full-ESS "
+            f"{rc['ess']['scores']['psnr']:.2f}; scores: "
+            f"artifacts/round5/distill_raycull/scores.json)\n")
+    doc = open("RESULTS.md").read()
+    old = ("| teacher, all rays (reference serving loop) | 681.8 ms | 1.0× |\n"
+           "| teacher, ray-culled | (queued) | |\n"
+           "| ESS experts, ray-culled (cull-then-route) | (queued) | |")
+    if old in doc:
+        doc = doc.replace(old, "\n".join(lines) + "\n" + tail)
+        open("RESULTS.md", "w").write(doc)
+        print("RESULTS.md table filled")
+    else:
+        open("RESULTS.md", "a").write(
+            "\n### Ray-culled serving head-to-head (auto-landed)\n\n"
+            + "\n".join(lines) + "\n" + tail)
+        print("RESULTS.md appended (queued table not found verbatim)")
+EOF
+      git add artifacts/round5 RESULTS.md >/dev/null 2>&1
       git commit -q -m "artifacts: round-5 ray-culled serving head-to-head" \
-          -- artifacts/round5 || true
+          -- artifacts/round5 RESULTS.md || true
       log "=== ray-cull measurement landed ==="
       exit 0
     fi
