@@ -378,6 +378,16 @@ def grid_occupancy(raw_fn: Callable, aabb_min, aabb_max, grid: int,
     pts = ((corners[:, None, :] + lattice[None, :, :]) * cell + lo).reshape(-1, 3)
     probe_dirs = np.float32([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0],
                              [0.0, -0.7071068, -0.7071068]])
+    # Probe in FIXED 65536-point chunks (padding the tail) rather than one
+    # odd-sized batch: the XLA TPU fusion pass has been observed to SIGILL
+    # its compile helper on the same teacher graph at 216000 rows that it
+    # compiles fine at 65536 (the AABB probe's chunk size, so the program is
+    # usually already in the compilation cache). One padded shape = one
+    # compile, and tiny probes (< one chunk) stay unpadded.
+    n = len(pts)
+    chunk = min(chunk, 65536)
+    if n > chunk and n % chunk:
+        pts = np.concatenate([pts, pts[: chunk - n % chunk]])
     sig = []
     probe = jax.jit(lambda p, d: raw_fn(p, d)[:, 3])
     for i in range(0, len(pts), chunk):
@@ -388,7 +398,7 @@ def grid_occupancy(raw_fn: Callable, aabb_min, aabb_max, grid: int,
             si = np.asarray(probe(p, d))
             s = si if s is None else np.maximum(s, si)
         sig.append(s)
-    sigma = np.concatenate(sig).reshape(g ** 3, k ** 3)
+    sigma = np.concatenate(sig)[:n].reshape(g ** 3, k ** 3)
     return sigma.max(axis=1) > sigma_thresh
 
 

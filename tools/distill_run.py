@@ -345,13 +345,19 @@ def main(argv=None):
 
     occ_teacher = None
     if args.distill_bias > 0:
-        occ_teacher = ex.dilate_occupancy(
-            ex.grid_occupancy(teacher_fn, aabb_min, aabb_max, args.grid,
-                              samples_per_axis=args.ess_probe,
-                              sigma_thresh=args.ess_thresh), args.grid)
-        print(f"teacher occupancy on the distill grid: "
-              f"{int(occ_teacher.sum())}/{args.grid ** 3} cells — "
-              f"{args.distill_bias:.0%} of distill samples biased there")
+        try:
+            occ_teacher = ex.dilate_occupancy(
+                ex.grid_occupancy(teacher_fn, aabb_min, aabb_max, args.grid,
+                                  samples_per_axis=args.ess_probe,
+                                  sigma_thresh=args.ess_thresh), args.grid)
+            print(f"teacher occupancy on the distill grid: "
+                  f"{int(occ_teacher.sum())}/{args.grid ** 3} cells — "
+                  f"{args.distill_bias:.0%} of distill samples biased there")
+        except Exception as e:  # remote-compiler crash etc. — degrade loudly
+            occ_teacher = None
+            print(f"teacher occupancy probe FAILED ({type(e).__name__}: "
+                  f"{str(e)[:200]}) — distilling with UNBIASED sampling "
+                  "(costs ~0.7 dB per the round-4 no-bias ablation)")
 
     def _load_field(path):
         """Resume a saved field if its geometry matches this invocation —
