@@ -66,8 +66,11 @@ if r:
             f"foreground {r['worst_fg']}/{r['rays_per_view']} rays, stream "
             f"{r['stream']}, ray-culled ESS quality {r['scores']['psnr']:.2f} "
             f"PSNR / {r['scores']['ssim']:.4f} SSIM vs full-ESS "
-            f"{rc['ess']['scores']['psnr']:.2f}; scores: "
-            f"artifacts/round5/distill_raycull/scores.json)\n")
+            f"{rc['ess']['scores']['psnr']:.2f}; ray-culled teacher quality "
+            f"{r['teacher_scores']['psnr']:.2f} / "
+            f"{r['teacher_scores']['ssim']:.4f}; gap vs all-rays teacher "
+            f"render {r['gap_vs_full_teacher']['psnr']:.2f} dB PSNR-of-diff; "
+            f"scores: artifacts/round5/distill_raycull/scores.json)\n")
     doc = open("RESULTS.md").read()
     old = ("| teacher, all rays (reference serving loop) | 681.8 ms | 1.0× |\n"
            "| teacher, ray-culled | (queued) | |\n"
