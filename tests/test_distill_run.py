@@ -132,6 +132,34 @@ def test_distill_pose_conditioned_append(append_setup):
     assert sjson["model_type"] == "append_smpl_params"
 
 
+def test_occupancy_probe_failure_degrades_to_unbiased(static_setup,
+                                                      monkeypatch, capsys):
+    """A remote-compiler crash in the teacher occupancy probe (seen on-chip:
+    XLA TPU fusion pass SIGILL) must degrade to unbiased distill sampling,
+    loudly — never kill the stage."""
+    from smpl_nerf_tpu.render import experts as ex
+    from tools import distill_run
+
+    ds, run_dir, root = static_setup
+    real = ex.grid_occupancy
+    calls = []
+
+    def boom(raw_fn, *a, **kw):
+        # first probe = the TEACHER occupancy (distill bias); later probes
+        # (the ESS field occupancy) stay real
+        if not calls:
+            calls.append(1)
+            raise RuntimeError("remote_compile: HTTP 500 (simulated)")
+        return real(raw_fn, *a, **kw)
+
+    monkeypatch.setattr(ex, "grid_occupancy", boom)
+    out_dir = os.path.join(root, "distill_nobias_fallback")
+    out = distill_run.main(_distill_argv(run_dir, ds, out_dir,
+                                         extra=["--steps=5", "--ray_cull=0"]))
+    assert "UNBIASED sampling" in capsys.readouterr().out
+    assert out["teacher"]["psnr"] > 0  # the recipe still ran to completion
+
+
 def test_append_teacher_requires_pose(append_setup):
     from tools import distill_run
 
