@@ -59,6 +59,9 @@ from smpl_nerf_tpu.training.factory import build_models_and_params
 APPEND_FAMILIES = ("append_smpl_params", "append_to_nerf")
 
 
+_TEACHER_BLOCK = 65536
+
+
 def build_teacher(run_dir: str, pose=None):
     """(teacher_fn, cfg, args) from a trained run dir.
 
@@ -99,12 +102,31 @@ def build_teacher(run_dir: str, pose=None):
         prefix_row = (pose_enc.encode(pose) if cfg.human_pose_encoding
                       else pose)                                  # [1, Pf]
 
-    def teacher_fn(pos, dirs):
+    def _teacher_direct(pos, dirs):
         prefix = (None if prefix_row is None else jnp.broadcast_to(
             prefix_row, (pos.shape[0], prefix_row.shape[-1])))
         raw = run(model_key, params, pos[:, None, :], dirs[:, None, :],
                   prefix=prefix)
         return raw.reshape(pos.shape[0], -1)
+
+    def teacher_fn(pos, dirs):
+        # The XLA TPU fusion pass has SIGILL'd its compile helper on the
+        # prefix-concat (append-family) teacher graph at >=216k rows while
+        # compiling the identical graph fine at 65536 rows (observed twice
+        # on-chip, 2026-08-20). Evaluate big batches as a lax.map over fixed
+        # 65536-row blocks: one dispatch, one compiled 65536-shaped body,
+        # identical math, still MXU-saturating.
+        n = pos.shape[0]
+        if n <= _TEACHER_BLOCK:
+            return _teacher_direct(pos, dirs)
+        pad = (-n) % _TEACHER_BLOCK
+        if pad:
+            pos = jnp.concatenate([pos, pos[:pad]])
+            dirs = jnp.concatenate([dirs, dirs[:pad]])
+        raw = jax.lax.map(lambda ab: _teacher_direct(*ab),
+                          (pos.reshape(-1, _TEACHER_BLOCK, 3),
+                           dirs.reshape(-1, _TEACHER_BLOCK, 3)))
+        return raw.reshape(-1, raw.shape[-1])[:n]
 
     return teacher_fn, cfg, args
 
